@@ -1,12 +1,15 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes (standard JAX substitute for a
-"fake backend" in multi-device tests — see SURVEY.md §4).
+The image's sitecustomize registers the axon TPU backend and forces
+`jax_platforms="axon,cpu"` in every process — env vars alone do NOT give a
+CPU run (tests would silently compile through the remote TPU tunnel, ~100x
+slower). We must override jax.config AFTER importing jax, before any backend
+is touched, plus set the virtual device count (the standard JAX substitute
+for a "fake backend" in multi-device tests — see SURVEY.md §4).
 """
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
@@ -14,9 +17,17 @@ if '--xla_force_host_platform_device_count' not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'float32')
+# persistent compile cache keeps repeated CI runs fast on the 1-core host
+os.makedirs('/root/.cache/jax_test_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == 'cpu'
+assert jax.device_count() == 8, 'expected 8 virtual CPU devices'
 
 
 @pytest.fixture(scope='session')

@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoswap_tpu.ops import attention_with_probs, dot_product_attention
+from videoswap_tpu.ops.flash_attention import flash_attention
+
+
+def _ref_attention(q, k, v, heads):
+    b, sq, d = q.shape
+    dh = d // heads
+    qh = q.reshape(b, sq, heads, dh)
+    kh = k.reshape(b, k.shape[1], heads, dh)
+    vh = v.reshape(b, v.shape[1], heads, dh)
+    logits = np.einsum('bqhd,bkhd->bhqk', qh, kh) * dh ** -0.5
+    logits = logits - logits.max(-1, keepdims=True)
+    p = np.exp(logits)
+    p = p / p.sum(-1, keepdims=True)
+    out = np.einsum('bhqk,bkhd->bqhd', p, vh)
+    return out.reshape(b, sq, d)
+
+
+def test_fused_matches_reference(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (2, 64, 32))
+    k = jax.random.normal(k2, (2, 77, 32))
+    v = jax.random.normal(k3, (2, 77, 32))
+    out = dot_product_attention(q, k, v, heads=4, use_flash=False)
+    ref = _ref_attention(*map(np.asarray, (q, k, v)), heads=4)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_probs_path_matches_and_edits(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (2, 16, 32))
+    k = jax.random.normal(k2, (2, 8, 32))
+    v = jax.random.normal(k3, (2, 8, 32))
+    out, probs = attention_with_probs(q, k, v, heads=4)
+    ref = _ref_attention(*map(np.asarray, (q, k, v)), heads=4)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+    # an edit_fn that replaces probs with one-hot on key 0 selects v[:, 0]
+    onehot = jnp.zeros_like(probs).at[..., 0].set(1.0)
+    out2, _ = attention_with_probs(q, k, v, heads=4, edit_fn=lambda p: onehot)
+    expect = jnp.broadcast_to(v[:, :1], (2, 16, 32))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(expect), atol=1e-5)
+
+
+@pytest.mark.parametrize('sq,sk,d', [(256, 256, 128), (300, 77, 40),
+                                     (1344, 1344, 80)])
+def test_flash_attention_matches_reference(rng, sq, sk, d):
+    # interpret mode on CPU exercises the same kernel logic the TPU runs
+    k1, k2, k3 = jax.random.split(rng, 3)
+    h = 2
+    q = jax.random.normal(k1, (1, sq, h, d), jnp.float32)
+    k = jax.random.normal(k2, (1, sk, h, d), jnp.float32)
+    v = jax.random.normal(k3, (1, sk, h, d), jnp.float32)
+    with jax.disable_jit():  # run wrapper logic eagerly; kernel interprets
+        import jax.experimental.pallas as pl  # noqa: F401
+        from unittest import mock
+        import videoswap_tpu.ops.flash_attention as fa
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw['interpret'] = True
+            kw.pop('compiler_params', None)
+            return orig(*a, **kw)
+
+        with mock.patch.object(fa.pl, 'pallas_call', interp):
+            out = fa.flash_attention.__wrapped__(q, k, v, 256, 256)
+    qf = q.transpose(0, 2, 1, 3).reshape(h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(h, sk, d)
+    ref = _ref_attention(np.asarray(qf), np.asarray(kf), np.asarray(vf),
+                         heads=1).reshape(1, h, sq, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)

@@ -1,0 +1,102 @@
+"""AnimateDiff temporal motion modules.
+
+Parity: /root/reference/videoswap/models/animatediff_models/motion_module.py.
+A VanillaTemporalModule wraps a TemporalTransformer3DModel:
+GN -> proj_in -> N x TemporalTransformerBlock -> proj_out (zero-init) + res.
+Each block runs `attention_block_types` (2x Temporal_Self) attentions over
+the FRAME axis per spatial location ('(b f) d c -> (b d) f c',
+motion_module.py:291) with sinusoidal positional encoding (max_len 24),
+then a GEGLU FFN.
+
+TPU note: the frame-axis attention is tiny (F<=24) — it runs on the fused
+path; its cost is dominated by the (B*H*W, F, C) transposes, which XLA
+handles as layout changes. Under frame-sharding this boundary is where the
+all-to-all (Ulysses) collective is inserted (see videoswap_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import Attention, FeedForward
+
+
+def sinusoidal_position_table(max_len: int, d_model: int) -> np.ndarray:
+    """pe[p, 2i] = sin(p / 10000^(2i/d)), pe[p, 2i+1] = cos(...)."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                      * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class TemporalTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    max_len: int = 24
+    num_attention_blocks: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [(B*D), F, C] — attention across frames per spatial location
+        f = x.shape[1]
+        pe = jnp.asarray(sinusoidal_position_table(self.max_len, self.dim),
+                         dtype=x.dtype)[:f]
+        for i in range(self.num_attention_blocks):
+            h = nn.LayerNorm(dtype=self.dtype, name=f'norms_{i}')(x)
+            h = h + pe[None]
+            h = Attention(query_dim=self.dim, heads=self.heads,
+                          dim_head=self.dim // self.heads, dtype=self.dtype,
+                          name=f'attention_blocks_{i}')(h, use_flash=False)
+            x = h + x
+        h = nn.LayerNorm(dtype=self.dtype, name='ff_norm')(x)
+        return FeedForward(self.dim, dtype=self.dtype, name='ff')(h) + x
+
+
+class TemporalTransformer3DModel(nn.Module):
+    heads: int
+    num_layers: int
+    max_len: int = 24
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, F, H, W, C)
+        b, f, hh, ww, c = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         name='norm')(x)
+        h = nn.Dense(c, dtype=self.dtype, name='proj_in')(h)
+        # (B, F, H, W, C) -> (B*H*W, F, C): frame-axis sequence per location
+        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
+        for i in range(self.num_layers):
+            h = TemporalTransformerBlock(
+                dim=c, heads=self.heads, max_len=self.max_len,
+                dtype=self.dtype, name=f'transformer_blocks_{i}')(h)
+        h = h.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+        # zero-init proj_out: the module starts as identity (reference
+        # motion_module.py:76-77), critical for loading-free smoke tests.
+        h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                     name='proj_out')(h)
+        return h + residual
+
+
+class VanillaTemporalModule(nn.Module):
+    heads: int = 8
+    num_transformer_block: int = 1
+    max_len: int = 24
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return TemporalTransformer3DModel(
+            heads=self.heads, num_layers=self.num_transformer_block,
+            max_len=self.max_len, dtype=self.dtype,
+            name='temporal_transformer')(x)

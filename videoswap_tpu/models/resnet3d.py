@@ -1,0 +1,91 @@
+"""Pseudo-3D (frame-folded 2D) conv blocks for the inflated U-Net.
+
+Behavioral parity with /root/reference/videoswap/models/animatediff_models/
+resnet.py: InflatedConv3d == 2D conv mapped over frames; Upsample3D is
+spatial-only nearest 2x; Downsample3D is a stride-2 conv; ResnetBlock3D is
+GN-SiLU-conv-(+temb)-GN-SiLU-conv with a 1x1 shortcut.
+
+Layout: (B, F, H, W, C) channels-last.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import conv_over_frames
+
+
+class InflatedConv(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride),
+                       padding=[(self.padding, self.padding)] * 2,
+                       dtype=self.dtype, name='conv2d')
+        return conv_over_frames(conv, x)
+
+
+class Upsample3D(nn.Module):
+    """Nearest-neighbor 2x spatial upsample + 3x3 conv (frames untouched)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 output_size: Optional[tuple[int, int]] = None) -> jnp.ndarray:
+        b, f, h, w, c = x.shape
+        th, tw = output_size if output_size is not None else (h * 2, w * 2)
+        x = jnp.repeat(jnp.repeat(x, (th + h - 1) // h, axis=2),
+                       (tw + w - 1) // w, axis=3)[:, :, :th, :tw]
+        return InflatedConv(self.features, dtype=self.dtype, name='conv')(x)
+
+
+class Downsample3D(nn.Module):
+    """Stride-2 3x3 conv spatial downsample (frames untouched)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return InflatedConv(self.features, stride=2, dtype=self.dtype,
+                            name='conv')(x)
+
+
+class ResnetBlock3D(nn.Module):
+    out_channels: int
+    eps: float = 1e-5
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name='norm1')(x)
+        h = nn.silu(h)
+        h = InflatedConv(self.out_channels, dtype=self.dtype, name='conv1')(h)
+
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name='time_emb_proj')(nn.silu(temb))
+            h = h + t[:, None, None, None, :]
+
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name='norm2')(h)
+        h = nn.silu(h)
+        h = InflatedConv(self.out_channels, dtype=self.dtype, name='conv2')(h)
+
+        if in_channels != self.out_channels:
+            x = InflatedConv(self.out_channels, kernel=1, padding=0,
+                             dtype=self.dtype, name='conv_shortcut')(x)
+        return x + h

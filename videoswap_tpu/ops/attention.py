@@ -1,0 +1,77 @@
+"""Attention primitives.
+
+Two execution paths, mirroring the reference's split between xformers
+(fused, >=32^2 tokens) and explicit-probability attention (controllable,
+<32^2 tokens) — see /root/reference/videoswap/utils/p2p_utils/
+attention_register.py:66-76:
+
+- `dot_product_attention`: fused path. On TPU this lowers to the Pallas
+  flash-attention kernel (videoswap_tpu.ops.flash_attention) for long
+  sequences; otherwise XLA fuses the einsum/softmax chain.
+- `attention_with_probs`: materializes the (heads, q, k) probabilities so a
+  prompt-to-prompt controller can record or rewrite them. Only used at
+  sites whose query length is below the control threshold, so the
+  materialized tensor stays small.
+
+Shapes are (batch, seq, heads, head_dim) throughout ("BSND"), the layout
+XLA prefers on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, heads, d // heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, s, h, d = x.shape
+    return x.reshape(b, s, h * d)
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          heads: int, use_flash: bool | None = None
+                          ) -> jnp.ndarray:
+    """Fused multi-head attention. q: [B,Sq,D], k/v: [B,Sk,D] -> [B,Sq,D]."""
+    qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+    if use_flash is None:
+        use_flash = (jax.default_backend() == 'tpu' and qh.shape[1] >= 2048
+                     and kh.shape[1] >= 2048)
+    if use_flash:
+        from .flash_attention import flash_attention
+        out = flash_attention(qh, kh, vh)
+    else:
+        scale = qh.shape[-1] ** -0.5
+        logits = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhqk,bkhd->bqhd', probs, vh)
+    return _merge_heads(out)
+
+
+def attention_with_probs(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
+    edit_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Attention that exposes probabilities for store/edit controllers.
+
+    Returns (out [B,Sq,D], probs [B,heads,Sq,Sk]). `edit_fn`, when given,
+    rewrites the probabilities before the value contraction (the functional
+    replacement for the reference's AttnControlProcessor `controller(...)`
+    call, attention_register.py:150-156).
+    """
+    qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+    scale = qh.shape[-1] ** -0.5
+    logits = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    if edit_fn is not None:
+        probs = edit_fn(probs)
+    out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), vh)
+    return _merge_heads(out), probs
