@@ -1,0 +1,113 @@
+"""Headline benchmark: 16-frame 512x512 subject swap, 50 DDIM steps, CFG,
+point-adapter guidance — single chip.
+
+Baseline (BASELINE.md): < 30 s wall-clock on one TPU v5e. Random weights
+(same compute graph as trained ones). Prints ONE JSON line:
+{"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 30/value}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compile cache: repeated bench runs skip the big XLA compile
+os.makedirs('/root/.cache/jax_bench_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_bench_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FRAMES = 16
+SIZE = 512
+STEPS = 50
+POINTS = 10
+BASELINE_S = 30.0
+
+
+def build_pipeline():
+    from videoswap_tpu.models import (AdapterConfig, AnimateDiffUNet3DModel,
+                                      SparsePointAdapter, UNet3DConfig)
+    from videoswap_tpu.models.clip_text import CLIPTextModel
+    from videoswap_tpu.models.vae import AutoencoderKL
+    from videoswap_tpu.pipelines import VideoSwapPipeline
+    from videoswap_tpu.schedulers import make_schedule
+    from videoswap_tpu.utils.tokenizer import HashTokenizer
+
+    dtype = jnp.bfloat16
+    unet = AnimateDiffUNet3DModel(cfg=UNet3DConfig(), dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
+    text_encoder = CLIPTextModel(dtype=dtype)
+    adapter = SparsePointAdapter(cfg=AdapterConfig(), dtype=dtype)
+
+    k = jax.random.PRNGKey(0)
+    h8 = SIZE // 8
+    params = {
+        'unet': jax.jit(unet.init)(
+            k, jnp.zeros((1, 2, h8, h8, 4), dtype), jnp.array([0]),
+            jnp.zeros((1, 77, 768), dtype)),
+        'vae': jax.jit(vae.init)(k, jnp.zeros((1, 64, 64, 3), dtype)),
+        'text_encoder': jax.jit(text_encoder.init)(
+            k, jnp.zeros((1, 77), jnp.int32)),
+        'adapter': jax.jit(lambda k, t, e: adapter.init(
+            k, t, (SIZE, SIZE), e))(
+            k, jnp.zeros((FRAMES, POINTS, 2)),
+            jnp.zeros((POINTS, 1280), dtype)),
+    }
+    return VideoSwapPipeline(unet=unet, vae=vae, text_encoder=text_encoder,
+                             tokenizer=HashTokenizer(),
+                             sched=make_schedule(), adapter=adapter,
+                             params=params)
+
+
+def main():
+    t_setup = time.time()
+    pipe = build_pipeline()
+    rs = np.random.RandomState(0)
+    conditions = {
+        'pred_tracks': (rs.rand(FRAMES, POINTS, 2) * SIZE).astype(
+            np.float32),
+        'point_embedding': rs.randn(POINTS, 1280).astype(np.float32),
+        'index_list': None,
+    }
+    kwargs = dict(
+        prompt='a <catA1> <catA2> with a red bell sitting on a wooden floor',
+        video_length=FRAMES, height=SIZE, width=SIZE,
+        num_inference_steps=STEPS, guidance_scale=7.5,
+        negative_prompt='worst quality, low quality, deformed',
+        conditions=conditions, t2i_guidance_scale=0.5,
+        t2i_start=0.0, t2i_end=0.5, output_type='np',
+        rng=jax.random.PRNGKey(0),
+    )
+    print(f'# setup {time.time() - t_setup:.1f}s', file=sys.stderr)
+
+    t0 = time.time()
+    video = pipe.sample(**kwargs)                  # compile + run
+    print(f'# compile+run {time.time() - t0:.1f}s', file=sys.stderr)
+    assert np.isfinite(video).all()
+
+    t0 = time.time()
+    video = pipe.sample(**kwargs)                  # steady-state
+    elapsed = time.time() - t0
+    assert video.shape == (1, FRAMES, SIZE, SIZE, 3)
+
+    fps = FRAMES / elapsed
+    print(f'# steady-state {elapsed:.2f}s  ({fps:.2f} frames/s/chip)',
+          file=sys.stderr)
+    print(json.dumps({
+        'metric': f'wall-clock {FRAMES}-frame {SIZE}x{SIZE} swap, '
+                  f'{STEPS} DDIM steps + CFG + point adapter, 1 chip',
+        'value': round(elapsed, 3),
+        'unit': 's',
+        'vs_baseline': round(BASELINE_S / elapsed, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,108 @@
+"""End-to-end CLI smoke: train.py then test.py on a synthetic dataset with
+tiny random-init models — the reference's config-driven e2e validation
+style (SURVEY.md §4) minus the human eyeball."""
+
+import os
+import sys
+
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+TINY_MODELS = {
+    'unet': {'unet_cfg': {
+        'block_out_channels': [16, 32, 32, 32], 'attention_head_dim': 4,
+        'cross_attention_dim': 24, 'norm_num_groups': 8, 'motion_heads': 4}},
+    'adapter': {'adapter_cfg': {
+        'embedding_channels': 12, 'channels': [16, 32, 32, 32],
+        'mid_dim': 8}},
+    'vae_cfg': {'block_out_channels': [8, 8, 16, 16], 'norm_groups': 8},
+    'text_encoder_cfg': {'hidden_size': 24, 'num_layers': 1,
+                         'num_heads': 4, 'intermediate_size': 32},
+}
+
+
+def _write_cfg(path, cfg):
+    with open(path, 'w') as f:
+        yaml.safe_dump(cfg, f)
+
+
+def test_train_then_test_cli(tmp_path):
+    from scripts.make_smoke_dataset import make
+    data_dir = tmp_path / 'data'
+    make(str(data_dir), frames=4, size=64)
+
+    datasets = {
+        'type': 'SingleVideoPointDataset',
+        'path': str(data_dir / 'frames'),
+        'tap_path': str(data_dir / 'TAP.pth'),
+        'prompt': 'a cat walking on a gradient floor',
+        'num_frames': 2, 'total_frames': 4,
+        'video_transform': [
+            {'type': 'Resize', 'size': 64},
+            {'type': 'ToTensor'},
+            {'type': 'Normalize', 'mean': [0.5], 'std': [0.5]},
+        ],
+        'batch_size_per_gpu': 1, 'dataset_enlarge_ratio': 4,
+    }
+    editing_config = {
+        'use_invertion_latents': True,
+        'use_blend': False,
+        'num_inference_steps': 2,
+        'guidance_scale': 7.5,
+        't2i_guidance_scale': 0.5, 't2i_start': 0.0, 't2i_end': 0.5,
+        'visualize_point': True,
+        'editing_prompts': {
+            'cat2dog': {'replace': 'cat -> dog', 'select_point': None,
+                        'tap_path': None},
+        },
+    }
+
+    train_cfg = {
+        'name': 'smoke_train', 'manual_seed': 7, 'mixed_precision': 'no',
+        'datasets': datasets, 'models': TINY_MODELS, 'path': {},
+        'train': {
+            'train_pipeline': 'VideoSwapTrainer',
+            'optimizer': {'type': 'AdamW', 'lr': 5.0e-4,
+                          'weight_decay': 0.01, 'betas': [0.9, 0.999]},
+            'tune_cfg': {'drop_rate': 0.2, 'min_timestep': 0.5,
+                         'loss_type': 'local'},
+            'lr_scheduler': 'constant', 'total_iter': 3, 'warmup_iter': 0},
+        'val': {'val_pipeline': 'VideoSwapPipeline', 'save_type': 'frame',
+                'val_freq': 3, 'editing_config': editing_config},
+        'logger': {'print_freq': 1, 'save_checkpoint_freq': 3},
+    }
+    cfg_path = tmp_path / 'train_smoke.yml'
+    _write_cfg(cfg_path, train_cfg)
+
+    import train as train_mod
+
+    class Args:
+        opt = str(cfg_path)
+        resume = False
+    train_mod.train(str(tmp_path), Args())
+
+    exp = tmp_path / 'experiments' / 'smoke_train'
+    ckpt = exp / 'models' / 'models_3' / 'adapter.msgpack'
+    assert ckpt.is_file(), 'adapter checkpoint not saved'
+    assert (exp / 'visualization' / 'iter_3').is_dir(), 'no validation out'
+
+    # ---- test.py consuming the trained checkpoint -------------------------
+    test_cfg = {
+        'name': 'smoke_test', 'manual_seed': 7, 'mixed_precision': 'no',
+        'datasets': datasets, 'models': TINY_MODELS,
+        'path': {'pretrained_adapter_path': str(ckpt)},
+        'val': {'save_type': 'frame', 'editing_config': editing_config},
+    }
+    tcfg_path = tmp_path / 'test_smoke.yml'
+    _write_cfg(tcfg_path, test_cfg)
+
+    import test as test_mod
+    test_mod.test(str(tmp_path), str(tcfg_path))
+
+    res = tmp_path / 'results' / 'smoke_test' / 'visualization'
+    assert (res / 'source').is_dir()
+    assert (res / 'cat2dog').is_dir()
+    frame_files = list((res / 'cat2dog').rglob('*.jpg'))
+    assert len(frame_files) == 2, f'expected 2 frames, got {frame_files}'

@@ -1,0 +1,153 @@
+"""End-to-end smoke: tiny models through invert -> sample -> validation,
+mirroring the reference smoke config shape (8-frame low-res, few steps)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoswap_tpu.models import (AdapterConfig, AnimateDiffUNet3DModel,
+                                  SparsePointAdapter, UNet3DConfig)
+from videoswap_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from videoswap_tpu.models.vae import AutoencoderKL
+from videoswap_tpu.pipelines import VideoSwapPipeline, VideoSwapTrainer
+from videoswap_tpu.schedulers import make_schedule
+from videoswap_tpu.utils.tokenizer import HashTokenizer
+
+
+@pytest.fixture(scope='module')
+def pipe():
+    unet = AnimateDiffUNet3DModel(cfg=UNet3DConfig(
+        block_out_channels=(16, 32, 32, 32), attention_head_dim=4,
+        cross_attention_dim=24, norm_num_groups=8, motion_heads=4))
+    vae = AutoencoderKL(block_out_channels=(8, 8, 16, 16), norm_groups=8)
+    text_encoder = CLIPTextModel(cfg=CLIPTextConfig(
+        vocab_size=49408, hidden_size=24, num_layers=1, num_heads=4,
+        intermediate_size=32))
+    adapter = SparsePointAdapter(cfg=AdapterConfig(
+        embedding_channels=12, channels=(16, 32, 32, 32), mid_dim=8))
+
+    k = jax.random.PRNGKey(0)
+    f, h, w = 2, 64, 64
+    params = {
+        'unet': jax.jit(unet.init)(k, jnp.zeros((1, f, h // 8, w // 8, 4)),
+                                   jnp.array([0]), jnp.zeros((1, 77, 24))),
+        'vae': jax.jit(vae.init)(k, jnp.zeros((1, h, w, 3))),
+        'text_encoder': jax.jit(text_encoder.init)(
+            k, jnp.zeros((1, 77), jnp.int32)),
+        'adapter': jax.jit(lambda k, t, e: adapter.init(k, t, (w, h), e))(
+            k, jnp.zeros((f, 3, 2)), jnp.zeros((3, 12))),
+    }
+    return VideoSwapPipeline(
+        unet=unet, vae=vae, text_encoder=text_encoder,
+        tokenizer=HashTokenizer(), sched=make_schedule(), adapter=adapter,
+        params=params)
+
+
+@pytest.fixture(scope='module')
+def conditions():
+    return {
+        'pred_tracks': np.array([[[10.0, 12.0], [30.0, 40.0], [50.0, 20.0]],
+                                 [[12.0, 14.0], [28.0, 38.0], [-1.0, -1.0]]],
+                                dtype=np.float32),
+        'point_embedding': np.random.RandomState(0).randn(3, 12).astype(
+            np.float32),
+        'point_name2id': {'head': 0, 'body': 1, 'tail': 2},
+        'img_size': (64, 64),
+        'index_list': None,
+    }
+
+
+def test_text_to_video_sample(pipe):
+    frames = pipe.sample('a cat on the floor', video_length=2, height=64,
+                         width=64, num_inference_steps=3,
+                         guidance_scale=7.5, negative_prompt='ugly')
+    assert len(frames) == 2
+    assert frames[0].size == (64, 64)
+
+
+def test_invert_then_sample_roundtrip(pipe):
+    video = np.random.RandomState(0).rand(1, 2, 64, 64, 3).astype(
+        np.float32) * 2 - 1
+    inv, per_step = pipe.invert(video, 'a cat', num_inference_steps=3)
+    assert inv.shape == (1, 2, 8, 8, 4)
+    assert per_step['latents'].shape == (3, 1, 2, 8, 8, 4)
+    out = pipe.sample('a cat', video_length=2, height=64, width=64,
+                      num_inference_steps=3, guidance_scale=1.0,
+                      latents=inv, output_type='latent')
+    assert out.shape == inv.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_with_adapter_conditions(pipe, conditions):
+    lat = pipe.sample('a cat', video_length=2, height=64, width=64,
+                      num_inference_steps=3, guidance_scale=7.5,
+                      conditions=conditions, t2i_guidance_scale=0.5,
+                      t2i_start=0.0, t2i_end=0.5, output_type='latent')
+    # adapter must change the trajectory
+    lat0 = pipe.sample('a cat', video_length=2, height=64, width=64,
+                       num_inference_steps=3, guidance_scale=7.5,
+                       conditions=None, output_type='latent')
+    assert float(jnp.abs(lat - lat0).max()) > 1e-6
+
+
+def test_point_subset_changes_output(pipe, conditions):
+    c2 = dict(conditions, index_list=[0])
+    lat_all = pipe.sample('a cat', video_length=2, height=64, width=64,
+                          num_inference_steps=2, guidance_scale=7.5,
+                          conditions=conditions, output_type='latent')
+    lat_sub = pipe.sample('a cat', video_length=2, height=64, width=64,
+                          num_inference_steps=2, guidance_scale=7.5,
+                          conditions=c2, output_type='latent')
+    assert float(jnp.abs(lat_all - lat_sub).max()) > 1e-7
+
+
+def test_validation_flow(pipe, conditions):
+    video = np.random.RandomState(1).rand(1, 2, 64, 64, 3).astype(
+        np.float32) * 2 - 1
+    editing_config = {
+        'use_invertion_latents': True,
+        'num_inference_steps': 2,
+        'guidance_scale': 7.5,
+        'visualize_point': True,
+        't2i_guidance_scale': 0.5,
+        't2i_start': 0.0, 't2i_end': 0.5,
+        'editing_prompts': {
+            'cat_to_dog': {'replace': 'cat -> fluffy dog',
+                           'select_point': ['head', 'body']},
+        },
+    }
+    results = pipe.validation(video, conditions, 'a cat walking',
+                              editing_config)
+    assert 'cat_to_dog' in results and 'cat_to_dog_vispoint' in results
+    assert len(results['cat_to_dog']) == 2
+
+
+def test_trainer_step_decreases_nan_free(pipe):
+    trainer = VideoSwapTrainer(
+        unet=pipe.unet, vae=pipe.vae, text_encoder=pipe.text_encoder,
+        tokenizer=pipe.tokenizer, sched=pipe.sched, adapter=pipe.adapter,
+        params={k: v for k, v in pipe.params.items() if k != 'adapter'},
+        tune_cfg={'drop_rate': 0.2, 'min_timestep': 0.5,
+                  'loss_type': 'local'},
+        optimizer_cfg={'lr': 1e-3})
+    adapter_params = pipe.params['adapter']['params']
+    opt_state = trainer.init_state(adapter_params)
+    batch = {
+        'pixels': jnp.asarray(np.random.RandomState(0).rand(
+            1, 2, 64, 64, 3).astype(np.float32) * 2 - 1),
+        'input_ids': jnp.asarray(
+            pipe.encode_prompt_ids(['a cat walking'])),
+        'pred_tracks': jnp.asarray([[[10.0, 12.0], [30.0, 40.0]],
+                                    [[12.0, 14.0], [28.0, 38.0]]]),
+        'point_embedding': jnp.asarray(np.random.RandomState(1).randn(
+            2, 12).astype(np.float32)),
+    }
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(3):
+        rng, step_rng = jax.random.split(rng)
+        adapter_params, opt_state, loss = trainer.step(
+            adapter_params, opt_state, batch, step_rng)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))

@@ -89,6 +89,7 @@ class Transformer3DModel(nn.Module):
     place: str
     attn_index: int
     cross_layer_idx: int
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -102,7 +103,7 @@ class Transformer3DModel(nn.Module):
         x = x.reshape(b * f, hh, ww, c)
         text = jnp.repeat(text, f, axis=0)  # per-frame text
 
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='norm')(x)
         # SD-1.5 uses conv (use_linear_projection=False); a 1x1 conv on
         # channels-last is a Dense over C — keep conv naming for conversion.

@@ -64,6 +64,7 @@ class TemporalTransformer3DModel(nn.Module):
     heads: int
     num_layers: int
     max_len: int = 24
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,7 +72,7 @@ class TemporalTransformer3DModel(nn.Module):
         # x: (B, F, H, W, C)
         b, f, hh, ww, c = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='norm')(x)
         h = nn.Dense(c, dtype=self.dtype, name='proj_in')(h)
         # (B, F, H, W, C) -> (B*H*W, F, C): frame-axis sequence per location
@@ -92,11 +93,13 @@ class VanillaTemporalModule(nn.Module):
     heads: int = 8
     num_transformer_block: int = 1
     max_len: int = 24
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return TemporalTransformer3DModel(
             heads=self.heads, num_layers=self.num_transformer_block,
-            max_len=self.max_len, dtype=self.dtype,
+            max_len=self.max_len, norm_groups=self.norm_groups,
+            dtype=self.dtype,
             name='temporal_transformer')(x)

@@ -82,6 +82,7 @@ class CrossAttnDownBlock3D(nn.Module):
                     name=f'resnets_{i}')(x, temb)
             x = Attn(heads=heads, dim_head=self.out_channels // heads,
                      cross_attention_dim=cfg.cross_attention_dim,
+                     norm_groups=cfg.norm_num_groups,
                      num_layers=1, place='down',
                      attn_index=self.place_idx * n + i,
                      cross_layer_idx=self.place_idx * n + i,
@@ -90,7 +91,8 @@ class CrossAttnDownBlock3D(nn.Module):
                 x = VanillaTemporalModule(
                     heads=self.cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
-                    max_len=cfg.motion_max_len, dtype=self.dtype,
+                    max_len=cfg.motion_max_len,
+                    norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
             if i == n - 1 and adapter_residual is not None:
                 x = x + adapter_residual
@@ -123,7 +125,8 @@ class DownBlock3D(nn.Module):
                 x = VanillaTemporalModule(
                     heads=cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
-                    max_len=cfg.motion_max_len, dtype=self.dtype,
+                    max_len=cfg.motion_max_len,
+                    norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
             skips.append(x)
         # the 4th adapter residual is added after the whole (final) down
@@ -154,7 +157,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
         x = Res(out_channels=ch, eps=cfg.norm_eps, groups=cfg.norm_num_groups,
                 dtype=self.dtype, name='resnets_0')(x, temb)
         x = Attn(heads=heads, dim_head=ch // heads,
-                 cross_attention_dim=cfg.cross_attention_dim, num_layers=1,
+                 cross_attention_dim=cfg.cross_attention_dim,
+                 norm_groups=cfg.norm_num_groups, num_layers=1,
                  place='mid', attn_index=0,
                  cross_layer_idx=len(cfg.block_out_channels
                                      [:-1]) * cfg.layers_per_block,
@@ -163,7 +167,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             x = VanillaTemporalModule(
                 heads=cfg.motion_heads,
                 num_transformer_block=cfg.motion_num_transformer_block,
-                max_len=cfg.motion_max_len, dtype=self.dtype,
+                max_len=cfg.motion_max_len,
+                norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                 name='motion_modules_0')(x)
         x = Res(out_channels=ch, eps=cfg.norm_eps, groups=cfg.norm_num_groups,
                 dtype=self.dtype, name='resnets_1')(x, temb)
@@ -195,6 +200,7 @@ class CrossAttnUpBlock3D(nn.Module):
                     name=f'resnets_{i}')(x, temb)
             x = Attn(heads=heads, dim_head=self.out_channels // heads,
                      cross_attention_dim=cfg.cross_attention_dim,
+                     norm_groups=cfg.norm_num_groups,
                      num_layers=1, place='up',
                      attn_index=(self.place_idx - 1) * n + i,
                      cross_layer_idx=(n_down_cross + 1
@@ -204,7 +210,8 @@ class CrossAttnUpBlock3D(nn.Module):
                 x = VanillaTemporalModule(
                     heads=cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
-                    max_len=cfg.motion_max_len, dtype=self.dtype,
+                    max_len=cfg.motion_max_len,
+                    norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
         if self.add_upsample:
             x = Upsample3D(self.out_channels, dtype=self.dtype,
@@ -233,7 +240,8 @@ class UpBlock3D(nn.Module):
                 x = VanillaTemporalModule(
                     heads=cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
-                    max_len=cfg.motion_max_len, dtype=self.dtype,
+                    max_len=cfg.motion_max_len,
+                    norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
         if self.add_upsample:
             x = Upsample3D(self.out_channels, dtype=self.dtype,

@@ -26,16 +26,17 @@ SD_VAE_SCALING = 0.18215
 
 class VAEResnetBlock(nn.Module):
     out_channels: int
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='norm1')(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name='conv1')(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='norm2')(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -48,13 +49,14 @@ class VAEResnetBlock(nn.Module):
 
 class VAEAttention(nn.Module):
     """Single-head self-attention over spatial tokens (mid block)."""
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='group_norm')(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name='to_q')(x)
@@ -69,6 +71,7 @@ class Encoder(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     latent_channels: int = 4
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,7 +81,7 @@ class Encoder(nn.Module):
                     name='conv_in')(x)
         for i, ch in enumerate(chans):
             for j in range(self.layers_per_block):
-                x = VAEResnetBlock(ch, dtype=self.dtype,
+                x = VAEResnetBlock(ch, norm_groups=self.norm_groups, dtype=self.dtype,
                                    name=f'down_blocks_{i}_resnets_{j}')(x)
             if i < len(chans) - 1:
                 # diffusers uses pad=0 with manual (0,1) asymmetric padding
@@ -87,10 +90,10 @@ class Encoder(nn.Module):
                             dtype=self.dtype,
                             name=f'down_blocks_{i}_downsamplers_0_conv')(x)
         ch = chans[-1]
-        x = VAEResnetBlock(ch, dtype=self.dtype, name='mid_block_resnets_0')(x)
-        x = VAEAttention(dtype=self.dtype, name='mid_block_attentions_0')(x)
-        x = VAEResnetBlock(ch, dtype=self.dtype, name='mid_block_resnets_1')(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        x = VAEResnetBlock(ch, norm_groups=self.norm_groups, dtype=self.dtype, name='mid_block_resnets_0')(x)
+        x = VAEAttention(norm_groups=self.norm_groups, dtype=self.dtype, name='mid_block_attentions_0')(x)
+        x = VAEResnetBlock(ch, norm_groups=self.norm_groups, dtype=self.dtype, name='mid_block_resnets_1')(x)
+        x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='conv_norm_out')(x)
         x = nn.silu(x)
         return nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
@@ -101,6 +104,7 @@ class Decoder(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     out_channels: int = 3
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,21 +112,21 @@ class Decoder(nn.Module):
         chans = list(reversed(self.block_out_channels))   # (512,512,256,128)
         x = nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype,
                     name='conv_in')(z)
-        x = VAEResnetBlock(chans[0], dtype=self.dtype,
+        x = VAEResnetBlock(chans[0], norm_groups=self.norm_groups, dtype=self.dtype,
                            name='mid_block_resnets_0')(x)
-        x = VAEAttention(dtype=self.dtype, name='mid_block_attentions_0')(x)
-        x = VAEResnetBlock(chans[0], dtype=self.dtype,
+        x = VAEAttention(norm_groups=self.norm_groups, dtype=self.dtype, name='mid_block_attentions_0')(x)
+        x = VAEResnetBlock(chans[0], norm_groups=self.norm_groups, dtype=self.dtype,
                            name='mid_block_resnets_1')(x)
         for i, ch in enumerate(chans):
             for j in range(self.layers_per_block + 1):
-                x = VAEResnetBlock(ch, dtype=self.dtype,
+                x = VAEResnetBlock(ch, norm_groups=self.norm_groups, dtype=self.dtype,
                                    name=f'up_blocks_{i}_resnets_{j}')(x)
             if i < len(chans) - 1:
                 b, h, w, c = x.shape
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
                 x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f'up_blocks_{i}_upsamplers_0_conv')(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='conv_norm_out')(x)
         x = nn.silu(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1,
@@ -133,13 +137,17 @@ class AutoencoderKL(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     latent_channels: int = 4
     scaling_factor: float = SD_VAE_SCALING
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = Encoder(self.block_out_channels,
                                latent_channels=self.latent_channels,
+                               norm_groups=self.norm_groups,
                                dtype=self.dtype)
-        self.decoder = Decoder(self.block_out_channels, dtype=self.dtype)
+        self.decoder = Decoder(self.block_out_channels,
+                               norm_groups=self.norm_groups,
+                               dtype=self.dtype)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1),
                                   dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.latent_channels, (1, 1),

@@ -1,0 +1,6 @@
+from .mesh import make_mesh, MeshAxes
+from .sharding import (batch_sharding, param_sharding_rules,
+                       shard_params, shard_batch)
+
+__all__ = ['make_mesh', 'MeshAxes', 'batch_sharding',
+           'param_sharding_rules', 'shard_params', 'shard_batch']

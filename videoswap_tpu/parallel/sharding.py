@@ -1,0 +1,65 @@
+"""Sharding rules: params over tp, activations over (dp, sp).
+
+Megatron-style tensor parallelism expressed as param shardings — GSPMD then
+inserts the matching all-reduces:
+
+- attention to_q/to_k/to_v and FFN net_0_proj kernels: split the OUTPUT
+  feature axis over `tp` (column parallel);
+- attention to_out_0 and FFN net_2 kernels: split the INPUT axis over `tp`
+  (row parallel, all-reduce after);
+- everything else (convs, norms, embeddings, time MLP) replicated — conv
+  channel counts (320..1280) make head/FFN matmuls the only tp-worthy ops
+  in this model family.
+
+Batch/video tensors shard (B, F, ...) over (dp, sp).
+"""
+
+from __future__ import annotations
+
+import jax
+from flax import traverse_util
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+_COL_PARALLEL = ('to_q', 'to_k', 'to_v', 'net_0_proj', 'q_proj', 'k_proj',
+                 'v_proj', 'mlp_fc1')
+_ROW_PARALLEL = ('to_out_0', 'net_2', 'out_proj', 'mlp_fc2')
+
+
+def param_sharding_rules(path: tuple[str, ...], leaf) -> P:
+    names = set(path)
+    if leaf.ndim == 2:
+        if names & set(_COL_PARALLEL):
+            return P(None, 'tp')
+        if names & set(_ROW_PARALLEL):
+            return P('tp', None)
+    return P()
+
+
+def shard_params(params, mesh):
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        spec = param_sharding_rules(tuple(str(p) for p in path), leaf)
+        out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+    return traverse_util.unflatten_dict(out)
+
+
+def batch_sharding(mesh, ndim: int, frame_axis: int = 1) -> NamedSharding:
+    """(B, F, ...) tensors: B over dp, F over sp."""
+    spec = ['dp'] + [None] * (ndim - 1)
+    spec[frame_axis] = 'sp'
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch: dict, mesh) -> dict:
+    """Shard the trainer batch dict onto the mesh."""
+    out = {}
+    for k, v in batch.items():
+        if k == 'pixels':                       # (B, F, H, W, 3)
+            s = batch_sharding(mesh, v.ndim)
+        elif k == 'pred_tracks':                # (F, P, 2) frame axis 0
+            s = NamedSharding(mesh, P('sp'))
+        else:                                   # ids, embeddings: replicate
+            s = NamedSharding(mesh, P())
+        out[k] = jax.device_put(v, s)
+    return out

@@ -1,0 +1,318 @@
+"""VideoSwap inference pipeline: DDIM inversion + guided re-denoising.
+
+Functional counterpart of the reference VideoSwapPipeline
+(/root/reference/videoswap/pipelines/pipeline_videoswap.py:87-721),
+TPU-first:
+
+- the 50-step DDIM loops are single `lax.scan`s inside one jit; latents and
+  every stored per-step tensor stay in HBM (the reference round-trips
+  attention maps and latents to CPU each step, attention_store.py:73, 98);
+- the inversion store is a scan output: per-step latents + the cross/self
+  attention maps the controller will actually consume — selected statically
+  from the edit config, instead of the reference's store-everything-<=32^2;
+- classifier-free guidance is the [uncond; cond] batch of the reference
+  (__call__ :558-584), adapter residual window `t2i_start/t2i_end` becomes a
+  multiply gate on the step index (:561-564);
+- ED-LoRA weight merges swap param VALUES only, so compiled samplers are
+  reused across concepts (structure-stable jit cache).
+
+Compiled functions are cached per static signature in `_jit_cache`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoswap_tpu.models import (AnimateDiffUNet3DModel, SparsePointAdapter)
+from videoswap_tpu.models.clip_text import CLIPTextModel
+from videoswap_tpu.models.vae import AutoencoderKL
+from videoswap_tpu.p2p import NO_CTRL, AttnCtrl
+from videoswap_tpu.schedulers import (DiffusionSchedule, ddim_inverse_step,
+                                      ddim_inverse_timesteps, ddim_step,
+                                      ddim_timesteps)
+from videoswap_tpu.utils.image import postprocess_video, preprocess_video
+from videoswap_tpu.utils.registry import PIPELINE_REGISTRY
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
+    """arXiv:2305.08891 §3.4 (reference pipeline :582-584)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return (guidance_rescale * rescaled
+            + (1 - guidance_rescale) * noise_cfg)
+
+
+@PIPELINE_REGISTRY.register()
+@dataclass
+class VideoSwapPipeline:
+    unet: AnimateDiffUNet3DModel
+    vae: AutoencoderKL
+    text_encoder: CLIPTextModel
+    tokenizer: Any
+    sched: DiffusionSchedule
+    adapter: Optional[SparsePointAdapter] = None
+    params: dict = field(default_factory=dict)   # unet/vae/text_encoder/adapter
+    extra_token_embeds: Optional[jnp.ndarray] = None  # ED-LoRA concept rows
+    _jit_cache: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------------ text
+    def encode_prompt_ids(self, prompts: list[str]) -> np.ndarray:
+        return self.tokenizer(
+            prompts, padding='max_length',
+            max_length=self.tokenizer.model_max_length,
+            truncation=True).input_ids
+
+    def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
+        ids = jnp.asarray(self.encode_prompt_ids(prompts))
+        fn = self._cached('text_encode', lambda params, ids, extra:
+                          self.text_encoder.apply(
+                              params, ids, extra_token_embeds=extra))
+        return fn(self.params['text_encoder'], ids, self.extra_token_embeds)
+
+    # ----------------------------------------------------------------- cache
+    def _cached(self, key, fn, **jit_kwargs):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn, **jit_kwargs)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------- adapters
+    def _adapter_states(self, conditions: Optional[dict], size,
+                        t2i_guidance_scale: float, cfg: bool):
+        if conditions is None or self.adapter is None:
+            return None
+        tracks = jnp.asarray(conditions['pred_tracks'])
+        emb = jnp.asarray(conditions['point_embedding'])
+        index_list = conditions.get('index_list')
+        p = tracks.shape[1]
+        if index_list is not None:
+            mask = np.zeros(p, bool)
+            mask[np.asarray(index_list)] = True
+        else:
+            mask = np.ones(p, bool)
+        fn = self._cached(
+            ('adapter', size), lambda params, tr, em, ma:
+            self.adapter.apply(params, tr, size, em, point_mask=ma))
+        states = fn(self.params['adapter'], tracks, emb, jnp.asarray(mask))
+        states = [s[None] * t2i_guidance_scale for s in states]  # add batch
+        if cfg:
+            states = [jnp.concatenate([s, s], axis=0) for s in states]
+        return states
+
+    # ------------------------------------------------------------ inversion
+    def invert(self, video, prompt: str, num_inference_steps: int = 50,
+               store_ctrl: AttnCtrl = NO_CTRL):
+        """DDIM-invert a source video (reference `invert`, :621-721).
+
+        Returns (inverted_latents [B,F,h,w,4], per_step dict with 'latents'
+        [N,B,F,h,w,4] and optionally 'attn' {site: [N, ...]}).
+
+        guidance_scale is 1 during inversion (reference :627), so no CFG.
+        The VAE posterior MODE is used (deterministic inversion; the
+        reference samples the posterior with the global torch RNG, which is
+        unseeded nondeterminism we deliberately drop).
+        """
+        pixels = jnp.asarray(preprocess_video(video)) \
+            if not isinstance(video, (jnp.ndarray, np.ndarray)) \
+            else jnp.asarray(video)
+        text = self.encode_prompt([prompt])
+        ts = jnp.asarray(ddim_inverse_timesteps(
+            self.sched.num_train_timesteps, num_inference_steps))
+
+        want_store = store_ctrl.mode != 'none'
+
+        def fn(params, pixels, text):
+            latents = self.vae.apply(params['vae'], pixels,
+                                     method=AutoencoderKL.encode_video)
+            latents = latents.astype(text.dtype)
+
+            def body(lat, t):
+                if want_store:
+                    eps, v = self.unet.apply(
+                        params['unet'], lat, t, text, ctrl=store_ctrl,
+                        mutable=['attn_store'])
+                    store = v['attn_store']
+                else:
+                    eps = self.unet.apply(params['unet'], lat, t, text)
+                    store = {}
+                new_lat = ddim_inverse_step(
+                    self.sched, eps, t, lat,
+                    num_inference_steps).astype(lat.dtype)
+                return new_lat, {'latents': new_lat, 'attn': store}
+
+            final, per_step = jax.lax.scan(body, latents, ts)
+            return final, per_step
+
+        jfn = self._cached(('invert', num_inference_steps, pixels.shape,
+                            want_store), fn)
+        return jfn(self.params, pixels, text)
+
+    # ------------------------------------------------------------- sampling
+    def sample(self,
+               prompt: str,
+               video_length: int,
+               height: int,
+               width: int,
+               num_inference_steps: int = 50,
+               guidance_scale: float = 7.5,
+               negative_prompt: Optional[str] = None,
+               latents: Optional[jnp.ndarray] = None,
+               conditions: Optional[dict] = None,
+               t2i_guidance_scale: float = 1.0,
+               t2i_start: float = 0.0,
+               t2i_end: float = 1.0,
+               guidance_rescale: float = 0.0,
+               edit_ctrl: AttnCtrl = NO_CTRL,
+               inv_store: Optional[dict] = None,
+               step_callback=None,
+               rng: Optional[jax.Array] = None,
+               output_type: str = 'pil'):
+        """The reference `__call__` (:426-619): CFG DDIM sampling from
+        (usually) inverted latents with point-adapter residual guidance."""
+        do_cfg = guidance_scale > 1.0
+        if do_cfg:
+            neg = negative_prompt or ''
+            text = self.encode_prompt([neg, prompt])
+        else:
+            text = self.encode_prompt([prompt])
+
+        h8, w8 = height // 8, width // 8
+        if latents is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            latents = (jax.random.normal(
+                rng, (1, video_length, h8, w8, 4), jnp.float32)
+                * self.sched.init_noise_sigma).astype(text.dtype)
+        latents = jnp.asarray(latents).astype(text.dtype)
+
+        adapter_states = self._adapter_states(
+            conditions, (width, height), t2i_guidance_scale, do_cfg)
+        has_adapter = adapter_states is not None
+
+        ts = jnp.asarray(ddim_timesteps(self.sched.num_train_timesteps,
+                                        num_inference_steps))
+        n = num_inference_steps
+        lo = t2i_start * n
+        hi = t2i_end * n
+
+        def fn(params, latents, text, adapter_states, ctrl):
+            def body(lat, xs):
+                i, t = xs
+                inp = jnp.concatenate([lat, lat], 0) if do_cfg else lat
+                if has_adapter:
+                    gate = ((i >= lo) & (i <= hi)).astype(inp.dtype)
+                    res = [s * gate for s in adapter_states]
+                else:
+                    res = None
+                eps = self.unet.apply(params['unet'], inp, t, text,
+                                      adapter_residuals=res, ctrl=ctrl)
+                if do_cfg:
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    eps = eps_u + guidance_scale * (eps_c - eps_u)
+                    if guidance_rescale > 0.0:
+                        eps = rescale_noise_cfg(eps, eps_c, guidance_rescale)
+                lat = ddim_step(self.sched, eps.astype(lat.dtype), t, lat,
+                                num_inference_steps).astype(lat.dtype)
+                return lat, None
+
+            xs = (jnp.arange(len(ts)), ts)
+            lat, _ = jax.lax.scan(body, latents, xs)
+            return lat
+
+        key = ('sample', num_inference_steps, latents.shape, do_cfg,
+               has_adapter, guidance_scale, t2i_start, t2i_end,
+               t2i_guidance_scale, guidance_rescale, edit_ctrl.mode)
+        lat = self._cached(key, fn)(self.params, latents, text,
+                                    adapter_states, edit_ctrl)
+
+        if output_type == 'latent':
+            return lat
+        decode = self._cached(('decode', lat.shape), lambda params, z:
+                              self.vae.apply(params, z.astype(jnp.float32),
+                                             method=AutoencoderKL.decode_video))
+        video = decode(self.params['vae'], lat)
+        video = jax.device_get(video)
+        if output_type == 'np':
+            return video
+        return postprocess_video(video)
+
+    # ------------------------------------------------------------ validation
+    def validation(self, source_video, source_conditions, source_prompt,
+                   editing_config: dict, train_dataset=None, save_dir=None):
+        """Per-editing-prompt swap loop (reference validation, :272-423).
+
+        Round-1 scope: inversion + target-prompt re-denoising with adapter
+        guidance and per-swap overrides. Attention blending and ED-LoRA
+        hook in through `edit_ctrl`/param merging as those subsystems land.
+        """
+        import copy as _copy
+
+        cfg = editing_config
+        use_inv = cfg.get('use_invertion_latents', True)
+        steps = cfg.get('num_inference_steps', 50)
+
+        ddim_latents = None
+        if use_inv:
+            ddim_latents, _ = self.invert(source_video, source_prompt,
+                                          num_inference_steps=steps)
+
+        if isinstance(source_video, list):
+            width, height = source_video[0].size
+            video_length = len(source_video)
+        else:
+            video_length, height, width = source_video.shape[1:4]
+
+        results = {}
+        for key, swap_cfg in cfg.get('editing_prompts', {}).items():
+            if source_conditions is not None and swap_cfg.get('tap_path'):
+                conditions = train_dataset.get_conditions(
+                    swap_cfg['tap_path'])
+            else:
+                conditions = _copy.deepcopy(source_conditions)
+            if conditions is not None and swap_cfg.get('select_point'):
+                conditions['index_list'] = [
+                    conditions['point_name2id'][n]
+                    for n in swap_cfg['select_point']]
+            elif conditions is not None:
+                conditions['index_list'] = None
+
+            src_subj, tgt_subj = [s.strip() for s in
+                                  swap_cfg['replace'].split('->')]
+            assert src_subj in source_prompt, \
+                'source subject need in source prompt'
+            target_prompt = source_prompt.replace(src_subj, tgt_subj)
+            if 'replace_other' in swap_cfg:
+                so, to = [s.strip() for s in
+                          swap_cfg['replace_other'].split('->')]
+                assert so in target_prompt
+                target_prompt = target_prompt.replace(so, to)
+
+            frames = self.sample(
+                prompt=target_prompt,
+                video_length=video_length, height=height, width=width,
+                num_inference_steps=steps,
+                guidance_scale=swap_cfg.get(
+                    'guidance_scale', cfg.get('guidance_scale', 7.5)),
+                negative_prompt=swap_cfg.get(
+                    'negative_prompt', cfg.get('negative_prompt')),
+                latents=ddim_latents,
+                conditions=conditions,
+                t2i_guidance_scale=swap_cfg.get(
+                    't2i_guidance_scale', cfg.get('t2i_guidance_scale', 1.0)),
+                t2i_start=cfg.get('t2i_start', 0.0),
+                t2i_end=cfg.get('t2i_end', 1.0),
+                rng=jax.random.PRNGKey(0),  # seed-0 per edit (reference :381)
+            )
+            results[key] = frames
+
+            if conditions is not None and cfg.get('visualize_point'):
+                from videoswap_tpu.utils.vis_util import overlay_points
+                results[key + '_vispoint'] = overlay_points(
+                    [f.copy() for f in frames], conditions)
+        return results
