@@ -61,8 +61,10 @@ def attention_with_probs(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Attention that exposes probabilities for store/edit controllers.
 
-    Returns (out [B,Sq,D], probs [B,heads,Sq,Sk]). `edit_fn`, when given,
-    rewrites the probabilities before the value contraction (the functional
+    Returns (out [B,Sq,D], probs [B,heads,Sq,Sk]) where `probs` are the
+    PRE-edit probabilities (the reference controller stores before
+    rewriting, attention_util.py:82-84). `edit_fn`, when given, rewrites
+    the probabilities used for the value contraction (the functional
     replacement for the reference's AttnControlProcessor `controller(...)`
     call, attention_register.py:150-156).
     """
@@ -71,7 +73,6 @@ def attention_with_probs(
     logits = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1)
-    if edit_fn is not None:
-        probs = edit_fn(probs)
-    out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), vh)
+    used = edit_fn(probs) if edit_fn is not None else probs
+    out = jnp.einsum('bhqk,bkhd->bqhd', used.astype(v.dtype), vh)
     return _merge_heads(out), probs

@@ -1,4 +1,5 @@
-"""VideoSwap inference pipeline: DDIM inversion + guided re-denoising.
+"""VideoSwap inference pipeline: DDIM inversion + guided re-denoising with
+prompt-to-prompt attention control and spatial latent blending.
 
 Functional counterpart of the reference VideoSwapPipeline
 (/root/reference/videoswap/pipelines/pipeline_videoswap.py:87-721),
@@ -7,21 +8,22 @@ TPU-first:
 - the 50-step DDIM loops are single `lax.scan`s inside one jit; latents and
   every stored per-step tensor stay in HBM (the reference round-trips
   attention maps and latents to CPU each step, attention_store.py:73, 98);
-- the inversion store is a scan output: per-step latents + the cross/self
-  attention maps the controller will actually consume — selected statically
-  from the edit config, instead of the reference's store-everything-<=32^2;
+- the inversion store is a scan output: per-step latents + exactly the
+  attention maps the edit will consume — selected statically from the edit
+  config instead of the reference's store-everything-<=32^2;
+- prompt-to-prompt control is an `EditBundle` (videoswap_tpu/p2p/edit.py):
+  reversed inversion arrays enter the sampling scan as xs, running map sums
+  ride the carry, and per-site probability rewrites run inside the U-Net —
+  replacing the reference's processor monkey-patching + CPU stores;
 - classifier-free guidance is the [uncond; cond] batch of the reference
-  (__call__ :558-584), adapter residual window `t2i_start/t2i_end` becomes a
+  (__call__ :558-584), the adapter residual window `t2i_start/t2i_end` a
   multiply gate on the step index (:561-564);
 - ED-LoRA weight merges swap param VALUES only, so compiled samplers are
   reused across concepts (structure-stable jit cache).
-
-Compiled functions are cached per static signature in `_jit_cache`.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -29,10 +31,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from videoswap_tpu.models import (AnimateDiffUNet3DModel, SparsePointAdapter)
+from videoswap_tpu.models import AnimateDiffUNet3DModel, SparsePointAdapter
 from videoswap_tpu.models.clip_text import CLIPTextModel
 from videoswap_tpu.models.vae import AutoencoderKL
 from videoswap_tpu.p2p import NO_CTRL, AttnCtrl
+from videoswap_tpu.p2p.edit import (EditBundle, _flatten_attn_store,
+                                    inversion_store_filter,
+                                    latent_blend_step, make_edit_bundle,
+                                    make_store_edit_ctrl,
+                                    self_masks_for_step)
 from videoswap_tpu.schedulers import (DiffusionSchedule, ddim_inverse_step,
                                       ddim_inverse_timesteps, ddim_step,
                                       ddim_timesteps)
@@ -61,6 +68,7 @@ class VideoSwapPipeline:
     adapter: Optional[SparsePointAdapter] = None
     params: dict = field(default_factory=dict)   # unet/vae/text_encoder/adapter
     extra_token_embeds: Optional[jnp.ndarray] = None  # ED-LoRA concept rows
+    new_concept_cfg: Optional[dict] = None
     _jit_cache: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------ text
@@ -71,7 +79,12 @@ class VideoSwapPipeline:
             truncation=True).input_ids
 
     def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
-        ids = jnp.asarray(self.encode_prompt_ids(prompts))
+        """[B, 77, 768] embeds; with active ED-LoRA concepts this becomes
+        the layer-wise [B, 16, 77, 768] (videoswap_tpu/edlora.py)."""
+        if self.new_concept_cfg:
+            from videoswap_tpu.edlora import encode_edlora_prompt
+            return encode_edlora_prompt(self, prompts)
+        ids = jnp.asarray(np.asarray(self.encode_prompt_ids(prompts)))
         fn = self._cached('text_encode', lambda params, ids, extra:
                           self.text_encoder.apply(
                               params, ids, extra_token_embeds=extra))
@@ -88,8 +101,8 @@ class VideoSwapPipeline:
                         t2i_guidance_scale: float, cfg: bool):
         if conditions is None or self.adapter is None:
             return None
-        tracks = jnp.asarray(conditions['pred_tracks'])
-        emb = jnp.asarray(conditions['point_embedding'])
+        tracks = jnp.asarray(np.asarray(conditions['pred_tracks']))
+        emb = jnp.asarray(np.asarray(conditions['point_embedding']))
         index_list = conditions.get('index_list')
         p = tracks.shape[1]
         if index_list is not None:
@@ -112,7 +125,7 @@ class VideoSwapPipeline:
         """DDIM-invert a source video (reference `invert`, :621-721).
 
         Returns (inverted_latents [B,F,h,w,4], per_step dict with 'latents'
-        [N,B,F,h,w,4] and optionally 'attn' {site: [N, ...]}).
+        [N,B,F,h,w,4] and 'attn' {site: [N, F, heads, S, T]}).
 
         guidance_scale is 1 during inversion (reference :627), so no CFG.
         The VAE posterior MODE is used (deterministic inversion; the
@@ -129,7 +142,8 @@ class VideoSwapPipeline:
         want_store = store_ctrl.mode != 'none'
 
         def fn(params, pixels, text):
-            latents = self.vae.apply(params['vae'], pixels,
+            latents = self.vae.apply(params['vae'],
+                                     pixels.astype(jnp.float32),
                                      method=AutoencoderKL.encode_video)
             latents = latents.astype(text.dtype)
 
@@ -138,7 +152,9 @@ class VideoSwapPipeline:
                     eps, v = self.unet.apply(
                         params['unet'], lat, t, text, ctrl=store_ctrl,
                         mutable=['attn_store'])
-                    store = v['attn_store']
+                    store = _flatten_attn_store(v['attn_store'])
+                    store = {k: a.astype(lat.dtype)
+                             for k, a in store.items()}
                 else:
                     eps = self.unet.apply(params['unet'], lat, t, text)
                     store = {}
@@ -151,7 +167,7 @@ class VideoSwapPipeline:
             return final, per_step
 
         jfn = self._cached(('invert', num_inference_steps, pixels.shape,
-                            want_store), fn)
+                            want_store, store_ctrl.mode), fn)
         return jfn(self.params, pixels, text)
 
     # ------------------------------------------------------------- sampling
@@ -169,13 +185,12 @@ class VideoSwapPipeline:
                t2i_start: float = 0.0,
                t2i_end: float = 1.0,
                guidance_rescale: float = 0.0,
-               edit_ctrl: AttnCtrl = NO_CTRL,
-               inv_store: Optional[dict] = None,
-               step_callback=None,
+               edit_bundle: Optional[EditBundle] = None,
                rng: Optional[jax.Array] = None,
                output_type: str = 'pil'):
         """The reference `__call__` (:426-619): CFG DDIM sampling from
-        (usually) inverted latents with point-adapter residual guidance."""
+        (usually) inverted latents with point-adapter residual guidance and
+        optional prompt-to-prompt control + latent blending."""
         do_cfg = guidance_scale > 1.0
         if do_cfg:
             neg = negative_prompt or ''
@@ -201,17 +216,50 @@ class VideoSwapPipeline:
         lo = t2i_start * n
         hi = t2i_end * n
 
-        def fn(params, latents, text, adapter_states, ctrl):
-            def body(lat, xs):
-                i, t = xs
+        ecfg = edit_bundle.cfg if edit_bundle is not None else None
+        do_edit = ecfg is not None
+
+        def fn(params, latents, text, adapter_states, estate, xs_extra,
+               sums0):
+            def body(carry, step):
+                lat, sums = carry
+                i, t = step['i'], step['t']
                 inp = jnp.concatenate([lat, lat], 0) if do_cfg else lat
                 if has_adapter:
                     gate = ((i >= lo) & (i <= hi)).astype(inp.dtype)
                     res = [s * gate for s in adapter_states]
                 else:
                     res = None
-                eps = self.unet.apply(params['unet'], inp, t, text,
-                                      adapter_residuals=res, ctrl=ctrl)
+
+                tgt_maps = {}
+                if do_edit:
+                    state = {'alpha_words': estate['alpha_words'][i]}
+                    state['base'] = step.get('base_cross', {})
+                    if 'base_self' in step:
+                        state['base_self'] = step['base_self']
+                        state['self_on'] = ((i >= ecfg.self_range[0])
+                                            & (i < ecfg.self_range[1]))
+                    if ecfg.blend_self:
+                        state['self_mask'] = self_masks_for_step(
+                            ecfg, estate, state['base'])
+                    ctrl = make_store_edit_ctrl(ecfg, estate, state)
+                    if ctrl.mode == 'store_edit':
+                        eps, v = self.unet.apply(
+                            params['unet'], inp, t, text,
+                            adapter_residuals=res, ctrl=ctrl,
+                            mutable=['attn_store'])
+                        f = ecfg.video_length
+                        for k, m in _flatten_attn_store(
+                                v['attn_store']).items():
+                            tgt_maps[k] = m[f:] if do_cfg else m
+                    else:
+                        eps = self.unet.apply(params['unet'], inp, t, text,
+                                              adapter_residuals=res,
+                                              ctrl=ctrl)
+                else:
+                    eps = self.unet.apply(params['unet'], inp, t, text,
+                                          adapter_residuals=res)
+
                 if do_cfg:
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
@@ -219,17 +267,29 @@ class VideoSwapPipeline:
                         eps = rescale_noise_cfg(eps, eps_c, guidance_rescale)
                 lat = ddim_step(self.sched, eps.astype(lat.dtype), t, lat,
                                 num_inference_steps).astype(lat.dtype)
-                return lat, None
 
-            xs = (jnp.arange(len(ts)), ts)
-            lat, _ = jax.lax.scan(body, latents, xs)
+                if do_edit and ecfg.blend_latents:
+                    lat, sums = latent_blend_step(
+                        ecfg, estate, lat, step['inv_latents'],
+                        step['base_cross'], sums, tgt_maps, i)
+                return (lat, sums), None
+
+            xs = {'i': jnp.arange(len(ts)), 't': ts, **xs_extra}
+            (lat, _), _ = jax.lax.scan(body, (latents, sums0), xs)
             return lat
+
+        if do_edit:
+            estate = edit_bundle.static_state
+            xs_extra = edit_bundle.xs
+            sums0 = edit_bundle.init_sums
+        else:
+            estate, xs_extra, sums0 = {}, {}, {}
 
         key = ('sample', num_inference_steps, latents.shape, do_cfg,
                has_adapter, guidance_scale, t2i_start, t2i_end,
-               t2i_guidance_scale, guidance_rescale, edit_ctrl.mode)
+               t2i_guidance_scale, guidance_rescale, ecfg)
         lat = self._cached(key, fn)(self.params, latents, text,
-                                    adapter_states, edit_ctrl)
+                                    adapter_states, estate, xs_extra, sums0)
 
         if output_type == 'latent':
             return lat
@@ -245,31 +305,46 @@ class VideoSwapPipeline:
     # ------------------------------------------------------------ validation
     def validation(self, source_video, source_conditions, source_prompt,
                    editing_config: dict, train_dataset=None, save_dir=None):
-        """Per-editing-prompt swap loop (reference validation, :272-423).
-
-        Round-1 scope: inversion + target-prompt re-denoising with adapter
-        guidance and per-swap overrides. Attention blending and ED-LoRA
-        hook in through `edit_ctrl`/param merging as those subsystems land.
-        """
+        """Per-editing-prompt swap loop (reference validation, :272-423):
+        inversion (storing what the blends/edits need), then per swap —
+        transient ED-LoRA merge, conditions override, prompt replacement,
+        controller setup, seed-0 sampling, weight restore."""
         import copy as _copy
 
         cfg = editing_config
         use_inv = cfg.get('use_invertion_latents', True)
+        use_blend = cfg.get('use_blend', False)
         steps = cfg.get('num_inference_steps', 50)
-
-        ddim_latents = None
-        if use_inv:
-            ddim_latents, _ = self.invert(source_video, source_prompt,
-                                          num_inference_steps=steps)
 
         if isinstance(source_video, list):
             width, height = source_video[0].size
             video_length = len(source_video)
         else:
             video_length, height, width = source_video.shape[1:4]
+        width, height = width - width % 8, height - height % 8
+
+        ddim_latents, per_step = None, None
+        if use_inv:
+            store_ctrl = NO_CTRL
+            if use_blend:
+                store_ctrl = AttnCtrl(
+                    mode='store',
+                    store_filter=inversion_store_filter(
+                        cfg, self.tokenizer, height, width))
+            ddim_latents, per_step = self.invert(
+                source_video, source_prompt, num_inference_steps=steps,
+                store_ctrl=store_ctrl)
 
         results = {}
         for key, swap_cfg in cfg.get('editing_prompts', {}).items():
+            lora_ctx = None
+            lora_path = swap_cfg.get('lora_path')
+            if lora_path:
+                from videoswap_tpu.edlora import load_edlora_into_pipeline
+                path, alpha = lora_path.rsplit('---', 1)
+                lora_ctx = load_edlora_into_pipeline(self, path,
+                                                     float(alpha))
+
             if source_conditions is not None and swap_cfg.get('tap_path'):
                 conditions = train_dataset.get_conditions(
                     swap_cfg['tap_path'])
@@ -293,12 +368,27 @@ class VideoSwapPipeline:
                 assert so in target_prompt
                 target_prompt = target_prompt.replace(so, to)
 
+            guidance_scale = swap_cfg.get(
+                'guidance_scale', cfg.get('guidance_scale', 7.5))
+
+            edit_bundle = None
+            if use_blend:
+                blend_words = [src_subj.split(' '), tgt_subj.split(' ')]
+                edit_bundle = make_edit_bundle(
+                    self.tokenizer, source_prompt, target_prompt,
+                    num_steps=steps, video_length=video_length,
+                    height=height, width=width,
+                    inv_latents_per_step=per_step['latents'],
+                    inv_attn_store=per_step['attn'],
+                    blend_words=blend_words,
+                    blend_cfg=swap_cfg.get('blend_cfg', {}),
+                    do_cfg=guidance_scale > 1.0)
+
             frames = self.sample(
                 prompt=target_prompt,
                 video_length=video_length, height=height, width=width,
                 num_inference_steps=steps,
-                guidance_scale=swap_cfg.get(
-                    'guidance_scale', cfg.get('guidance_scale', 7.5)),
+                guidance_scale=guidance_scale,
                 negative_prompt=swap_cfg.get(
                     'negative_prompt', cfg.get('negative_prompt')),
                 latents=ddim_latents,
@@ -307,6 +397,7 @@ class VideoSwapPipeline:
                     't2i_guidance_scale', cfg.get('t2i_guidance_scale', 1.0)),
                 t2i_start=cfg.get('t2i_start', 0.0),
                 t2i_end=cfg.get('t2i_end', 1.0),
+                edit_bundle=edit_bundle,
                 rng=jax.random.PRNGKey(0),  # seed-0 per edit (reference :381)
             )
             results[key] = frames
@@ -315,4 +406,8 @@ class VideoSwapPipeline:
                 from videoswap_tpu.utils.vis_util import overlay_points
                 results[key + '_vispoint'] = overlay_points(
                     [f.copy() for f in frames], conditions)
+
+            if lora_ctx is not None:
+                from videoswap_tpu.edlora import restore_pipeline
+                restore_pipeline(self, lora_ctx)
         return results
