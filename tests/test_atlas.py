@@ -1,0 +1,194 @@
+"""Atlas subsystem: hash encoding, IMLP, loss semantics, mini training run,
+displacement propagation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoswap_tpu.atlas import IMLP, hash_encode
+from videoswap_tpu.atlas import losses
+from videoswap_tpu.atlas.trainer import AtlasTrainer
+
+
+def test_hash_encode_shapes_and_continuity(rng):
+    table = jax.random.normal(rng, (4, 512, 2))
+    x = jnp.asarray([[0.3, 0.7], [0.3001, 0.7001], [-0.2, 0.5]])
+    out = hash_encode(x, table, base_resolution=4, per_level_scale=1.5)
+    assert out.shape == (3, 8)
+    # bilinear interpolation -> nearby points give nearby features
+    assert float(jnp.abs(out[0] - out[1]).max()) < 0.05
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_imlp_variants(rng):
+    for pe, in_dim in (('none', 3), ('encoding', 3), ('hash_encoding', 2)):
+        net = IMLP(input_dim=in_dim, output_dim=2, hidden_dim=16,
+                   mlp_layers=3, pe_type=pe, pe_dim=4,
+                   log2_hashmap_size=8, hash_levels=4)
+        x = jax.random.normal(rng, (5, in_dim))
+        params = net.init(jax.random.PRNGKey(0), x)
+        y = net.apply(params, x)
+        assert y.shape == (5, 2)
+        assert float(jnp.abs(y).max()) <= 1.0  # tanh output
+
+
+def test_rigidity_loss_minimal_for_isometry():
+    """uv = scale * xy (the pretraining target) has J = I -> loss = 2*sqrt2
+    (plus epsilon terms)."""
+    larger = 16
+    scale = 0.8
+
+    def norm_s(v):
+        return v / (larger / 2.0) - 1.0
+
+    def norm_t(v):
+        return v / 2.0 - 1.0
+
+    def uv_map(xyt):
+        return xyt[:, :2] * scale
+
+    xyf = jnp.asarray([[8, 8, 1], [4, 12, 0]])
+    xyt = jnp.stack([norm_s(xyf[:, 0] * 1.0), norm_s(xyf[:, 1] * 1.0),
+                     norm_t(xyf[:, 2] * 1.0)], -1)
+    uv = uv_map(xyt)
+    loss = losses.rigidity_loss(xyf, uv, uv_map, 1, larger, scale,
+                                norm_s, norm_t)
+    np.testing.assert_allclose(float(loss), 2 * np.sqrt(2), rtol=0.01)
+
+
+def test_flow_loss_zero_for_consistent_mapping():
+    """A mapping that is constant in time has zero flow loss under zero
+    flow."""
+    f_, h, w = 3, 8, 8
+
+    def norm_s(v):
+        return v / 4.0 - 1.0
+
+    def norm_t(v):
+        return v / (f_ / 2.0) - 1.0
+
+    def uv_map(xyt):
+        return xyt[:, :2] * 0.5
+
+    flows = jnp.zeros((f_, h, w, 2))
+    masks = jnp.ones((f_, h, w))
+    xyf = jnp.asarray([[2, 3, 1], [5, 5, 1]])
+    xyt = jnp.stack([norm_s(xyf[:, 0] * 1.0), norm_s(xyf[:, 1] * 1.0),
+                     norm_t(xyf[:, 2] * 1.0)], -1)
+    uv = uv_map(xyt)
+    loss = losses.optical_flow_loss(xyf, uv, uv_map, flows, masks, flows,
+                                    masks, 8, 0.5, norm_s, norm_t)
+    assert float(loss) < 1e-5
+
+
+def _synthetic_data(f=4, h=16, w=16):
+    rs = np.random.RandomState(0)
+    video = np.zeros((f, h, w, 3), np.float32)
+    mask = np.zeros((f, h, w), np.float32)
+    for i in range(f):
+        video[i, :, :, 0] = np.linspace(0, 1, w)[None, :]
+        video[i, :, :, 1] = np.linspace(0, 1, h)[:, None]
+        cx = 4 + 2 * i
+        video[i, 6:10, cx - 2:cx + 2] = [0.9, 0.2, 0.1]
+        mask[i, 6:10, cx - 2:cx + 2] = 1.0
+    dx = np.zeros_like(video)
+    dy = np.zeros_like(video)
+    dx[:, :, :-1] = video[:, :, 1:] - video[:, :, :-1]
+    dy[:, :-1] = video[:, 1:] - video[:, :-1]
+    flows = np.zeros((f, h, w, 2), np.float32)
+    flows[:-1, :, :, 0] = 0.0
+    flows_rev = np.zeros_like(flows)
+    fm = np.zeros((f, h, w), np.float32)
+    fm[:-1] = 1
+    fmr = np.zeros_like(fm)
+    fmr[1:] = 1
+    _ = rs
+    return dict(video=video, mask=mask, dx=dx, dy=dy, flows=flows,
+                flows_rev=flows_rev, flow_masks=fm, flow_masks_rev=fmr)
+
+
+TRAIN_OPT = {
+    'optimizer': {'lr': 1e-3},
+    'uv_mapping_scale': 0.8,
+    'sample_batch_size': 256,
+    'derivative_amount': 1,
+    'global_derivative_amount': 4,
+    'pretrain_alpha_iter': 100,
+    'pretrain_global_rigidity_iter': 5,
+    'loss_cfg': {
+        'reconstruction_loss': {'rgb_loss_weight': 5000,
+                                'gradient_loss_weight': 1000,
+                                'alpha_loss_weight': 2000},
+        'sparsity_loss': {'sparsity_loss_weight': 1000},
+        'rigidity_loss': {'rigidity_loss_weight': 1,
+                          'global_rigidity_fg_loss_weight': 5,
+                          'global_rigidity_bg_loss_weight': 50},
+        'flow_loss': {'flow_loss_weight': 5, 'alpha_flow_loss_weight': 49},
+    },
+}
+
+
+@pytest.fixture()
+def atlas_setup():
+    nets = {
+        'FG_UV_Mapping': IMLP(input_dim=3, output_dim=2, hidden_dim=32,
+                              mlp_layers=3),
+        'BG_UV_Mapping': IMLP(input_dim=3, output_dim=2, hidden_dim=32,
+                              mlp_layers=3),
+        'F_Alpha': IMLP(input_dim=3, output_dim=1, hidden_dim=32,
+                        mlp_layers=3, pe_type='encoding', pe_dim=2),
+        'F_Atlas': IMLP(input_dim=2, output_dim=3, hidden_dim=32,
+                        mlp_layers=3, pe_type='hash_encoding',
+                        hash_levels=4, log2_hashmap_size=10),
+        'FG_UV_Mapping_Inverse': IMLP(input_dim=3, output_dim=3,
+                                      hidden_dim=32, mlp_layers=3),
+    }
+    data_np = _synthetic_data()
+    data = {k: jnp.asarray(v) for k, v in data_np.items()}
+    trainer = AtlasTrainer(nets=nets, data=data, train_opt=TRAIN_OPT,
+                           larger_dim=16, num_frames=4)
+    params = trainer.init_params(jax.random.PRNGKey(0))
+    return trainer, params, data_np
+
+
+def test_atlas_training_reduces_loss(atlas_setup):
+    trainer, params, _ = atlas_setup
+    for name in ('FG_UV_Mapping', 'BG_UV_Mapping'):
+        params, _ = trainer.pretrain_mapping(params, name,
+                                             jax.random.PRNGKey(1), iters=3,
+                                             batch=256)
+    opt_state = trainer.init_opt_state(params)
+    rng = jax.random.PRNGKey(2)
+    first = last = None
+    for step in range(1, 31):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        params, opt_state, ld = trainer.step(params, opt_state, k1, step)
+        params, opt_state, inv_loss = trainer.inverse_step(params,
+                                                           opt_state, k2)
+        t = float(ld['total_loss'])
+        first = t if first is None else first
+        last = t
+    assert np.isfinite(last) and np.isfinite(float(inv_loss))
+    assert last < first, f'loss did not decrease: {first} -> {last}'
+
+    # PSNR evaluation runs and returns a finite value
+    from videoswap_tpu.atlas.evaluate import evaluate_model
+    p = evaluate_model(trainer.nets, params, atlas_setup[2]['video'],
+                       16, 16, 4, trainer.norm_s, trainer.norm_t)
+    assert np.isfinite(p) and p > 0
+
+
+def test_propagation_flow(atlas_setup):
+    trainer, params, _ = atlas_setup
+    from videoswap_tpu.atlas.propagate import (bind_nets,
+                                               propagate_point_sequence)
+    fg, inv, alpha = bind_nets(trainer.nets, params)
+    tracks = np.full((4, 2, 2), 5.0, np.float32)
+    out = propagate_point_sequence(
+        {'p0': [6, 5]}, {'p0': [8, 7]}, 1, tracks, {'p0': 0, 'p1': 1},
+        fg, inv, alpha, 16, 4, trainer.norm_s, trainer.norm_t)
+    assert out.shape == (4, 2, 2)
+    # untouched point keeps its track
+    np.testing.assert_allclose(out[:, 1], 5.0)
+    assert np.isfinite(out).all()

@@ -1,0 +1,142 @@
+"""Coordinate MLPs for the Layered Neural Atlas.
+
+Parity: /root/reference/videoswap/atlas/implicit_neural_networks.py —
+`IMLP`/`IMLP_Hash` with pe_type in {none, encoding, hash_encoding} and an
+8-layer ReLU MLP with optional skip connections and tanh output. The
+reference's CUDA tinycudann pieces map to TPU as:
+
+- tcnn HashGrid (16 levels, 2 feats, 2^19 table, base 16, scale 1.38,
+  implicit_neural_networks.py:117-130) -> `hash_encode`: a pure-JAX
+  multiresolution hash grid (per-level gather + bilinear interpolation,
+  dense indexing for levels whose grid fits the table, spatial-hash
+  otherwise — same scheme as tcnn). XLA fuses the gathers; the atlas
+  batch (10k points) keeps the MXU busy in the MLP.
+- tcnn FullyFusedMLP -> the same 'origin' MLP; "fully fused" on TPU is
+  XLA's job (small matmuls fuse into one kernel chain).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+HASH_PRIMES = (1, 2654435761, 805459861)
+
+
+def positional_encode(x: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
+    """Fourier features ordered like the reference's positionalEncoding_vec
+    (implicit_neural_networks.py:12-16): per frequency j, all sin(x_i b_j)
+    then all cos(x_i b_j)."""
+    b = jnp.asarray([(2.0 ** j) * math.pi for j in range(num_freqs)],
+                    dtype=x.dtype)
+    proj = x[..., :, None] * b[None, :]                # [N, D, J]
+    feat = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-2)
+    # [N, 2D, J] -> [N, J, 2D] -> [N, J*2D]
+    feat = jnp.swapaxes(feat, -1, -2)
+    return feat.reshape(*x.shape[:-1], -1)
+
+
+def _level_resolutions(n_levels: int, base_resolution: int,
+                       per_level_scale: float) -> list[int]:
+    return [int(math.floor(base_resolution * per_level_scale ** lv))
+            for lv in range(n_levels)]
+
+
+def hash_encode(x: jnp.ndarray, table: jnp.ndarray, *,
+                base_resolution: int = 16,
+                per_level_scale: float = 1.38) -> jnp.ndarray:
+    """Multiresolution hash encoding for 2-D inputs.
+
+    x: [N, 2] (the atlas UV, roughly in [0, 1] / [-1, 0] quadrants —
+    out-of-range coordinates hash fine, matching tcnn behavior);
+    table: [L, T, F] learned features. Returns [N, L*F].
+    """
+    n_levels, table_size, feats = table.shape
+    outs = []
+    for lv, res in enumerate(_level_resolutions(
+            n_levels, base_resolution, per_level_scale)):
+        pos = x.astype(jnp.float32) * res
+        c0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - c0
+        corners = [(0, 0), (1, 0), (0, 1), (1, 1)]
+        acc = 0.0
+        for dx, dy in corners:
+            cx = c0[:, 0] + dx
+            cy = c0[:, 1] + dy
+            if (res + 1) ** 2 <= table_size:   # dense level (tcnn-style)
+                idx = (cx % (res + 1)) + (cy % (res + 1)) * (res + 1)
+            else:                              # spatial hash (uint32 wrap)
+                ux = cx.astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[0])
+                uy = cy.astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[1])
+                idx = ((ux ^ uy) % jnp.uint32(table_size)).astype(jnp.int32)
+            w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                 * jnp.where(dy, frac[:, 1], 1 - frac[:, 1]))
+            acc = acc + table[lv][idx] * w[:, None]
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1).astype(x.dtype)
+
+
+class IMLP(nn.Module):
+    """pe_type: 'none' | 'encoding' | 'hash_encoding'; 8-layer ReLU MLP
+    with skip connections and tanh output."""
+    input_dim: int
+    output_dim: int
+    hidden_dim: int = 256
+    pe_type: str = 'none'
+    pe_dim: int = 10
+    skip_layers: Sequence[int] = ()
+    mlp_layers: int = 8
+    use_tanh: bool = True
+    hash_levels: int = 16
+    hash_feats: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 1.38
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.pe_type == 'hash_encoding':
+            import jax
+            table = self.param(
+                'hash_table',
+                lambda k, s: jax.random.uniform(k, s, jnp.float32,
+                                                -1e-4, 1e-4),
+                (self.hash_levels, 2 ** self.log2_hashmap_size,
+                 self.hash_feats))
+            x = hash_encode(x, table,
+                            base_resolution=self.base_resolution,
+                            per_level_scale=self.per_level_scale)
+        elif self.pe_type == 'encoding':
+            x = positional_encode(x, self.pe_dim)
+
+        inp = x
+        for i in range(self.mlp_layers):
+            if i > 0:
+                x = nn.relu(x)
+            if i in tuple(self.skip_layers):
+                x = jnp.concatenate([x, inp], axis=-1)
+            out_dim = (self.output_dim if i == self.mlp_layers - 1
+                       else self.hidden_dim)
+            x = nn.Dense(out_dim, dtype=self.dtype, name=f'hidden_{i}')(x)
+        if self.use_tanh:
+            x = jnp.tanh(x)
+        return x
+
+
+def imlp_from_opt(opt: dict) -> IMLP:
+    """Build from the reference YAML model blocks (IMLP_Hash kwargs)."""
+    return IMLP(
+        input_dim=opt['input_dim'],
+        output_dim=opt['output_dim'],
+        hidden_dim=opt.get('hidden_dim', 256),
+        pe_type=opt.get('pe_type', 'none'),
+        pe_dim=opt.get('pe_dim', 10),
+        skip_layers=tuple(opt.get('skip_layers', []) or []),
+        mlp_layers=opt.get('mlp_layers', 8),
+        use_tanh=opt.get('use_tanh', True),
+    )

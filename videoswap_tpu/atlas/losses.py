@@ -1,0 +1,159 @@
+"""Layered-neural-atlas losses as pure functions.
+
+Parity: /root/reference/videoswap/atlas/loss_utils.py and the loss assembly
+in train_atlas.py:164-249. All functions take the coordinate batch as
+integer pixel coords (x, y, f) [N] plus normalization closures, and the
+atlas nets as (apply_fn, params) pairs bound by the trainer. Data-dependent
+torch.where selections become masked means (identical expectations).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(jnp.float32)
+    return (values * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm with a finite gradient at 0 (jnp.linalg.norm's gradient is
+    NaN there, and masked-out entries would still poison the backward pass
+    through 0 * NaN)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
+
+def scaled_alpha(raw: jnp.ndarray) -> jnp.ndarray:
+    """tanh output -> (0.001, 0.991): the reference's log-safety squeeze
+    (train_atlas.py:152-155)."""
+    return (0.5 * (raw + 1.0)) * 0.99 + 0.001
+
+
+def atlas_rgb(f_atlas, uv: jnp.ndarray, layer: str) -> jnp.ndarray:
+    """FG colors sampled from quadrant +0.5, BG from -0.5
+    (train_atlas.py:157-160)."""
+    shift = 0.5 if layer == 'fg' else -0.5
+    return (f_atlas(uv * 0.5 + shift) + 1.0) * 0.5
+
+
+def reconstruct_rgb(fg_uv, bg_uv, alpha, f_atlas):
+    rgb_fg = atlas_rgb(f_atlas, fg_uv, 'fg')
+    rgb_bg = atlas_rgb(f_atlas, bg_uv, 'bg')
+    return rgb_fg * alpha + rgb_bg * (1.0 - alpha), rgb_fg, rgb_bg
+
+
+def rgb_loss(rgb_out: jnp.ndarray, rgb_gt: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.linalg.norm(rgb_out - rgb_gt, axis=-1) ** 2).mean()
+
+
+def alpha_bce_loss(alpha: jnp.ndarray, alpha_gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(-alpha_gt * jnp.log(alpha)
+                    - (1 - alpha_gt) * jnp.log(1 - alpha))
+
+
+def sparsity_loss(rgb_fg: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Penalize FG atlas colors where alpha ~ 0 (train_atlas.py:193-196)."""
+    ghost = rgb_fg * (1.0 - alpha)
+    return (jnp.linalg.norm(ghost, axis=-1) ** 2).mean()
+
+
+def gradient_loss(xyf, rgb_out, dx_gt, dy_gt, fg_map, bg_map, f_alpha,
+                  f_atlas, norm_s, norm_t):
+    """Finite-difference image-gradient reconstruction (loss_utils.py:5-48).
+
+    xyf: [N, 3] int coords; dx_gt/dy_gt: [N, 3] precomputed I(x+1)-I(x),
+    I(y+1)-I(y)."""
+    x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
+
+    def xyt(px, py):
+        return jnp.stack([norm_s(px), norm_s(py), norm_t(f)], axis=-1)
+
+    p_x1 = xyt(x + 1, y)
+    p_y1 = xyt(x, y + 1)
+    out = {}
+    for tag, p in (('x', p_x1), ('y', p_y1)):
+        a = scaled_alpha(f_alpha(p))
+        rgb, _, _ = reconstruct_rgb(fg_map(p), bg_map(p), a, f_atlas)
+        out[tag] = rgb
+    d_out_x = out['x'] - rgb_out
+    d_out_y = out['y'] - rgb_out
+    return jnp.mean(jnp.linalg.norm(dx_gt - d_out_x, axis=-1) ** 2
+                    + jnp.linalg.norm(dy_gt - d_out_y, axis=-1) ** 2)
+
+
+def rigidity_loss(xyf, uv, uv_map, derivative_amount: int, larger_dim: int,
+                  uv_mapping_scale: float, norm_s, norm_t) -> jnp.ndarray:
+    """Jacobian-close-to-rotation loss (loss_utils.py:52-112)."""
+    x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
+    d = derivative_amount
+    p_ym = jnp.stack([norm_s(x), norm_s(y - d), norm_t(f)], axis=-1)
+    p_xm = jnp.stack([norm_s(x - d), norm_s(y), norm_t(f)], axis=-1)
+    uv_ym = uv_map(p_ym)
+    uv_xm = uv_map(p_xm)
+
+    scale = larger_dim / 2.0 / uv_mapping_scale / d
+    du_dx = (uv[:, 0] - uv_xm[:, 0]) * scale
+    du_dy = (uv[:, 0] - uv_ym[:, 0]) * scale
+    dv_dx = (uv[:, 1] - uv_xm[:, 1]) * scale
+    dv_dy = (uv[:, 1] - uv_ym[:, 1]) * scale
+
+    # JtJ entries
+    a = du_dx ** 2 + dv_dx ** 2 + 0.001
+    b = du_dx * du_dy + dv_dx * dv_dy
+    c = b
+    dd = du_dy ** 2 + dv_dy ** 2 + 0.001
+
+    jtj_norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2 + dd ** 2)
+    det = a * dd - b * c
+    inv_norm = jtj_norm / jnp.maximum(jnp.abs(det), 1e-9)
+    return (jtj_norm + inv_norm).mean()
+
+
+def _flow_match_coords(xyf, flows, direction: int, norm_s, norm_t):
+    """coords moved by the (forward:+1 / backward:-1) flow at each point."""
+    x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
+    fl = flows[f, y, x]                        # [N, 2]
+    mx = x.astype(jnp.float32) + fl[:, 0]
+    my = y.astype(jnp.float32) + fl[:, 1]
+    mf = (f + direction).astype(jnp.float32)
+    return jnp.stack([norm_s(mx), norm_s(my), norm_t(mf)], axis=-1)
+
+
+def optical_flow_loss(xyf, uv, uv_map, flows, flow_masks, flows_rev,
+                      flow_masks_rev, larger_dim: int,
+                      uv_mapping_scale: float, norm_s, norm_t,
+                      alpha=None) -> jnp.ndarray:
+    """UV consistency along forward+backward flow (loss_utils.py:132-153).
+
+    flows: [F, H, W, 2] (forward maps f->f+1; reverse maps f->f-1);
+    masks: [F, H, W] consistency masks."""
+    x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
+    unit = larger_dim / 2.0 / uv_mapping_scale
+    total = 0.0
+    for flo, msk, direction in ((flows, flow_masks, 1),
+                                (flows_rev, flow_masks_rev, -1)):
+        match = _flow_match_coords(xyf, flo, direction, norm_s, norm_t)
+        uv_match = uv_map(match)
+        err = safe_norm(uv_match - uv) * unit
+        valid = msk[f, y, x]
+        if alpha is not None:
+            err = err * alpha[:, 0]
+        total = total + masked_mean(err, valid) * 0.5
+    return total
+
+
+def optical_flow_alpha_loss(xyf, alpha, f_alpha, flows, flow_masks,
+                            flows_rev, flow_masks_rev, norm_s,
+                            norm_t) -> jnp.ndarray:
+    """Alpha consistency along the flow (loss_utils.py:212-233)."""
+    x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
+    total = 0.0
+    for flo, msk, direction in ((flows, flow_masks, 1),
+                                (flows_rev, flow_masks_rev, -1)):
+        match = _flow_match_coords(xyf, flo, direction, norm_s, norm_t)
+        a_match = scaled_alpha(f_alpha(match))
+        err = jnp.abs(alpha - a_match)[:, 0]
+        valid = msk[f, y, x]
+        total = total + masked_mean(err, valid) * 0.5
+    return total

@@ -1,0 +1,256 @@
+"""Layered-neural-atlas training: jitted 8-term-loss step + inverse step.
+
+Parity: /root/reference/train_atlas.py:29-321. TPU-first differences:
+
+- coordinates are sampled uniformly inside the jitted step via jax.random
+  (the reference samples indices of an all-pixels table, get_tuples
+  selects every pixel — identical distribution, no giant index tensor);
+- the whole step (4 nets forward, 8 losses, Adam update) is ONE donated
+  jit; the inverse-mapping regression is a second jitted step using the
+  stop-gradiented FG mapping (train_atlas.py:256-266);
+- UV-mapping pretraining (UV ~ scaled identity, unwrap_utils.py:115-138)
+  is a scanned jitted loop;
+- step-gated loss terms (alpha BCE until pretrain_alpha_iter, global
+  rigidity until pretrain_global_rigidity_iter) use jnp.where gates so one
+  compiled program covers all phases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import losses
+from .imlp import IMLP
+
+
+@dataclass
+class AtlasTrainer:
+    nets: dict                     # name -> IMLP module
+    data: dict                     # arrays from load_input_data (device)
+    train_opt: dict
+    larger_dim: int
+    num_frames: int
+
+    def __post_init__(self):
+        lr = float(self.train_opt.get('optimizer', {}).get('lr', 1e-4))
+        self.tx = optax.adam(lr)
+        self.tx_inv = optax.adam(lr)
+        self._step = None
+        self._inv_step = None
+        self.uv_scale = float(self.train_opt.get('uv_mapping_scale', 0.8))
+        h, w = self.data['video'].shape[1:3]
+        self.res_y, self.res_x = h, w
+
+    # normalization closures (reference train_atlas.py:102-103)
+    def norm_s(self, v):
+        return v / (self.larger_dim / 2.0) - 1.0
+
+    def norm_t(self, v):
+        return v / (self.num_frames / 2.0) - 1.0
+
+    def init_params(self, rng) -> dict:
+        keys = jax.random.split(rng, len(self.nets))
+        params = {}
+        for k, (name, net) in zip(keys, self.nets.items()):
+            params[name] = jax.jit(net.init)(
+                k, jnp.zeros((1, net.input_dim)))
+        return params
+
+    def init_opt_state(self, params):
+        main = {n: params[n] for n in
+                ('FG_UV_Mapping', 'BG_UV_Mapping', 'F_Alpha', 'F_Atlas')}
+        states = {'main': self.tx.init(main)}
+        if 'FG_UV_Mapping_Inverse' in params:
+            states['inverse'] = self.tx_inv.init(
+                params['FG_UV_Mapping_Inverse'])
+        return states
+
+    # ------------------------------------------------------------- pretrain
+    def pretrain_mapping(self, params, name: str, rng,
+                         iters: int, batch: int = 10000):
+        """UV ~ uv_mapping_scale * xy identity init."""
+        net = self.nets[name]
+        tx = optax.adam(1e-4)
+
+        def body(carry, key):
+            p, opt = carry
+            kx, ky, kf = jax.random.split(key, 3)
+            x = self.norm_s(jax.random.randint(kx, (batch,), 0, self.res_x))
+            y = self.norm_s(jax.random.randint(ky, (batch,), 0, self.res_y))
+            f = self.norm_t(jax.random.randint(kf, (batch,), 0,
+                                               self.num_frames))
+            xyt = jnp.stack([x, y, f], axis=-1).astype(jnp.float32)
+
+            def loss_fn(p):
+                uv = net.apply(p, xyt)
+                return losses.safe_norm(
+                    xyt[:, :2] * self.uv_scale - uv).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, opt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), opt), loss
+
+        keys = jax.random.split(rng, iters * self.num_frames)
+        (p, _), losses_hist = jax.jit(
+            lambda p, keys: jax.lax.scan(body, (p, tx.init(p)), keys))(
+                params[name], keys)
+        params = dict(params, **{name: p})
+        return params, float(losses_hist[-1])
+
+    # ----------------------------------------------------------------- step
+    def _build_step(self):
+        cfg = self.train_opt['loss_cfg']
+        batch = int(self.train_opt.get('sample_batch_size', 10000))
+        d_amt = int(self.train_opt.get('derivative_amount', 1))
+        gd_amt = int(self.train_opt.get('global_derivative_amount', 100))
+        pre_alpha = int(self.train_opt.get('pretrain_alpha_iter', 0))
+        pre_grigid = int(self.train_opt.get(
+            'pretrain_global_rigidity_iter', 0))
+        w_rec = cfg['reconstruction_loss']
+        data = self.data
+        nets = self.nets
+
+        def step(params, opt_state, rng, global_step):
+            kx, ky, kf = jax.random.split(rng, 3)
+            x = jax.random.randint(kx, (batch,), 0, self.res_x)
+            y = jax.random.randint(ky, (batch,), 0, self.res_y)
+            f = jax.random.randint(kf, (batch,), 0, self.num_frames)
+            xyf = jnp.stack([x, y, f], axis=-1)
+            rgb_gt = data['video'][f, y, x]
+            alpha_gt = data['mask'][f, y, x][:, None]
+            dx_gt = data['dx'][f, y, x]
+            dy_gt = data['dy'][f, y, x]
+
+            def loss_fn(main_params):
+                fg = lambda p: nets['FG_UV_Mapping'].apply(   # noqa: E731
+                    main_params['FG_UV_Mapping'], p)
+                bg = lambda p: nets['BG_UV_Mapping'].apply(   # noqa: E731
+                    main_params['BG_UV_Mapping'], p)
+                al = lambda p: nets['F_Alpha'].apply(         # noqa: E731
+                    main_params['F_Alpha'], p)
+                at = lambda p: nets['F_Atlas'].apply(         # noqa: E731
+                    main_params['F_Atlas'], p)
+
+                xyt = jnp.stack([self.norm_s(x), self.norm_s(y),
+                                 self.norm_t(f)], axis=-1).astype(
+                                     jnp.float32)
+                uv_fg = fg(xyt)
+                uv_bg = bg(xyt)
+                alpha = losses.scaled_alpha(al(xyt))
+                rgb_out, rgb_fg, _ = losses.reconstruct_rgb(
+                    uv_fg, uv_bg, alpha, at)
+
+                ld = {}
+                total = 0.0
+                ld['gradient_loss'] = losses.gradient_loss(
+                    xyf, rgb_out, dx_gt, dy_gt, fg, bg, al, at,
+                    self.norm_s, self.norm_t)
+                total += w_rec['gradient_loss_weight'] * ld['gradient_loss']
+
+                ld['rgb_loss'] = losses.rgb_loss(rgb_out, rgb_gt)
+                total += w_rec['rgb_loss_weight'] * ld['rgb_loss']
+
+                ld['alpha_loss'] = losses.alpha_bce_loss(alpha, alpha_gt)
+                total += jnp.where(
+                    global_step <= pre_alpha,
+                    w_rec['alpha_loss_weight'] * ld['alpha_loss'], 0.0)
+
+                ld['sparsity_loss'] = losses.sparsity_loss(rgb_fg, alpha)
+                total += (cfg['sparsity_loss']['sparsity_loss_weight']
+                          * ld['sparsity_loss'])
+
+                for tag, mapper, uv in (('fg', fg, uv_fg), ('bg', bg, uv_bg)):
+                    r = losses.rigidity_loss(
+                        xyf, uv, mapper, d_amt, self.larger_dim,
+                        self.uv_scale, self.norm_s, self.norm_t)
+                    ld[f'rigidity_loss_{tag}'] = r
+                    total += cfg['rigidity_loss']['rigidity_loss_weight'] * r
+                    g = losses.rigidity_loss(
+                        xyf, uv, mapper, gd_amt, self.larger_dim,
+                        self.uv_scale, self.norm_s, self.norm_t)
+                    ld[f'global_rigidity_loss_{tag}'] = g
+                    total += jnp.where(
+                        global_step <= pre_grigid,
+                        cfg['rigidity_loss']
+                        [f'global_rigidity_{tag}_loss_weight'] * g, 0.0)
+
+                for tag, mapper, uv, a in (
+                        ('fg', fg, uv_fg, alpha),
+                        ('bg', bg, uv_bg, 1 - alpha)):
+                    fl = losses.optical_flow_loss(
+                        xyf, uv, mapper, data['flows'], data['flow_masks'],
+                        data['flows_rev'], data['flow_masks_rev'],
+                        self.larger_dim, self.uv_scale, self.norm_s,
+                        self.norm_t, alpha=a)
+                    ld[f'flow_loss_{tag}'] = fl
+                    total += cfg['flow_loss']['flow_loss_weight'] * fl
+
+                fa = losses.optical_flow_alpha_loss(
+                    xyf, alpha, al, data['flows'], data['flow_masks'],
+                    data['flows_rev'], data['flow_masks_rev'],
+                    self.norm_s, self.norm_t)
+                ld['flow_alpha_loss'] = fa
+                total += cfg['flow_loss']['alpha_flow_loss_weight'] * fa
+
+                ld['total_loss'] = total
+                return total, ld
+
+            main = {n: params[n] for n in
+                    ('FG_UV_Mapping', 'BG_UV_Mapping', 'F_Alpha', 'F_Atlas')}
+            (_, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(main)
+            updates, new_opt = self.tx.update(grads, opt_state['main'], main)
+            main = optax.apply_updates(main, updates)
+            new_params = dict(params, **main)
+            return new_params, dict(opt_state, main=new_opt), ld
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def step(self, params, opt_state, rng, global_step):
+        if self._step is None:
+            self._step = self._build_step()
+        return self._step(params, opt_state, rng,
+                          jnp.asarray(global_step))
+
+    # -------------------------------------------------------- inverse step
+    def _build_inv_step(self):
+        batch = int(self.train_opt.get('sample_batch_size', 10000))
+        nets = self.nets
+        data = self.data
+
+        def step(inv_params, fg_params, opt_state, rng):
+            kx, ky, kf = jax.random.split(rng, 3)
+            x = jax.random.randint(kx, (batch,), 0, self.res_x)
+            y = jax.random.randint(ky, (batch,), 0, self.res_y)
+            f = jax.random.randint(kf, (batch,), 0, self.num_frames)
+            xyt = jnp.stack([self.norm_s(x), self.norm_s(y),
+                             self.norm_t(f)], axis=-1).astype(jnp.float32)
+            fg_mask = data['mask'][f, y, x]  # supervise FG points only
+            uv = jax.lax.stop_gradient(
+                nets['FG_UV_Mapping'].apply(fg_params, xyt))
+            uvt = jnp.concatenate([uv, xyt[:, 2:]], axis=-1)
+
+            def loss_fn(p):
+                pred = nets['FG_UV_Mapping_Inverse'].apply(p, uvt)
+                err = losses.safe_norm(pred - xyt)
+                return losses.masked_mean(err, fg_mask == 1)
+
+            loss, grads = jax.value_and_grad(loss_fn)(inv_params)
+            updates, new_opt = self.tx_inv.update(grads, opt_state['inverse'],
+                                                  inv_params)
+            inv_params = optax.apply_updates(inv_params, updates)
+            return inv_params, dict(opt_state, inverse=new_opt), loss
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def inverse_step(self, params, opt_state, rng):
+        if self._inv_step is None:
+            self._inv_step = self._build_inv_step()
+        inv, opt_state, loss = self._inv_step(
+            params['FG_UV_Mapping_Inverse'], params['FG_UV_Mapping'],
+            opt_state, rng)
+        return dict(params, FG_UV_Mapping_Inverse=inv), opt_state, loss
