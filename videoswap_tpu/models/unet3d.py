@@ -330,6 +330,11 @@ class AnimateDiffUNet3DModel(nn.Module):
                                        remat=remat, name=f'up_blocks_{i}')(
                                            x, block_skips, temb, text, ctrl,
                                            upsample_size)
+            # DIFT taps: up-block features, fetched via
+            # mutable=['features'] (reference dift_util.py MyUNet2D early
+            # exit after `up_ft_indices`; here capture is free unless asked)
+            self.sow('features', f'up_block_{i}', x,
+                     reduce_fn=lambda prev, cur: cur)
 
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
                          dtype=self.dtype, name='conv_norm_out')(x)

@@ -1,0 +1,116 @@
+"""Optical flow for the atlas stage (preprocessing B).
+
+The reference wraps an external UniMatch/GMFlow checkout
+(/root/reference/scripts/extract_flow.py:14-55, git-ignored thirdparty).
+The native path here is a coarse-to-fine pyramidal Lucas-Kanade flow in
+pure JAX — adequate for the atlas's flow-consistency losses on the short,
+low-motion clips this framework targets, and fully jit-compiled. A
+thirdparty unimatch checkout is used instead when present (same gating as
+the reference).
+
+Output format matches the reference: per consecutive pair, an array
+[2, H, W, 2] (forward, backward) saved as .npy (extract_flow.py:136-149).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gray(img):
+    return img @ jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+
+
+def _resize(img, h, w):
+    return jax.image.resize(img, (h, w) + img.shape[2:], method='bilinear')
+
+
+def _warp(img, flow):
+    h, w = img.shape[:2]
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    cx = jnp.clip(xs + flow[..., 0], 0, w - 1)
+    cy = jnp.clip(ys + flow[..., 1], 0, h - 1)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = cx - x0
+    fy = cy - y0
+    v = (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+         + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+    return v
+
+
+def _lk_refine(i0, i1, flow, iters: int, eps: float = 1e-3):
+    """Iterative Lucas-Kanade updates with a 5x5 window (via blur)."""
+    def blur(x):
+        k = jnp.ones((5, 5)) / 25.0
+        return jax.scipy.signal.convolve2d(x, k, mode='same')
+
+    gx = jnp.gradient(i1, axis=1)
+    gy = jnp.gradient(i1, axis=0)
+
+    def body(flow, _):
+        w1 = _warp(i1, flow)
+        wx = _warp(gx, flow)
+        wy = _warp(gy, flow)
+        it = w1 - i0
+        a11 = blur(wx * wx) + eps
+        a12 = blur(wx * wy)
+        a22 = blur(wy * wy) + eps
+        b1 = blur(wx * it)
+        b2 = blur(wy * it)
+        det = a11 * a22 - a12 * a12
+        du = -(a22 * b1 - a12 * b2) / det
+        dv = -(-a12 * b1 + a11 * b2) / det
+        du = jnp.clip(du, -2, 2)
+        dv = jnp.clip(dv, -2, 2)
+        return flow + jnp.stack([du, dv], axis=-1), None
+
+    flow, _ = jax.lax.scan(body, flow, None, length=iters)
+    return flow
+
+
+@functools.partial(jax.jit, static_argnames=('levels', 'iters'))
+def pyramid_flow(img0: jnp.ndarray, img1: jnp.ndarray, levels: int = 4,
+                 iters: int = 10) -> jnp.ndarray:
+    """img0, img1: (H, W, 3) in [0, 1] or [-1, 1]. Returns (H, W, 2) flow
+    mapping img0 pixels to img1 (x, y order)."""
+    g0, g1 = _gray(img0.astype(jnp.float32)), _gray(img1.astype(jnp.float32))
+    h, w = g0.shape
+    shapes = [(max(h >> lv, 8), max(w >> lv, 8)) for lv in range(levels)]
+    flow = jnp.zeros(shapes[-1] + (2,), jnp.float32)
+    for lh, lw in reversed(shapes):
+        prev_h = flow.shape[0]
+        scale = lh / prev_h
+        flow = _resize(flow, lh, lw) * scale
+        flow = _lk_refine(_resize(g0[..., None], lh, lw)[..., 0],
+                          _resize(g1[..., None], lh, lw)[..., 0],
+                          flow, iters)
+    return flow
+
+
+def compute_bidirectional_flow(frame0: np.ndarray, frame1: np.ndarray
+                               ) -> np.ndarray:
+    """[2, H, W, 2]: (forward f0->f1, backward f1->f0), reference npy
+    layout (extract_flow.py:136-149)."""
+    fwd = pyramid_flow(jnp.asarray(frame0), jnp.asarray(frame1))
+    bwd = pyramid_flow(jnp.asarray(frame1), jnp.asarray(frame0))
+    return np.stack([np.asarray(fwd), np.asarray(bwd)])
+
+
+def load_thirdparty_unimatch(thirdparty_dir: str = 'thirdparty/unimatch'):
+    import os
+    import sys
+    if not os.path.isdir(thirdparty_dir):
+        return None
+    sys.path.insert(0, thirdparty_dir)
+    try:
+        from unimatch.unimatch import UniMatch  # type: ignore
+        return UniMatch
+    except Exception:
+        return None
