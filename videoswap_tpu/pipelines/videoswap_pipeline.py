@@ -119,9 +119,22 @@ class VideoSwapPipeline:
             states = [jnp.concatenate([s, s], axis=0) for s in states]
         return states
 
+    @staticmethod
+    def _default_loop(loop: str) -> str:
+        """'scan' compiles the whole DDIM loop into one XLA while-loop —
+        ideal on CPU/plain TPU. Through the axon remote-compile tunnel the
+        full-size scan compiles pathologically slowly (hours), while a
+        single step compiles in ~1 min — so 'auto' picks a jitted
+        single-step + host loop there (49 extra dispatches are amortized
+        by async dispatch)."""
+        if loop != 'auto':
+            return loop
+        import jax as _jax
+        return 'python' if _jax.default_backend() == 'tpu' else 'scan'
+
     # ------------------------------------------------------------ inversion
     def invert(self, video, prompt: str, num_inference_steps: int = 50,
-               store_ctrl: AttnCtrl = NO_CTRL):
+               store_ctrl: AttnCtrl = NO_CTRL, loop: str = 'auto'):
         """DDIM-invert a source video (reference `invert`, :621-721).
 
         Returns (inverted_latents [B,F,h,w,4], per_step dict with 'latents'
@@ -140,35 +153,60 @@ class VideoSwapPipeline:
             self.sched.num_train_timesteps, num_inference_steps))
 
         want_store = store_ctrl.mode != 'none'
+        loop = self._default_loop(loop)
 
-        def fn(params, pixels, text):
+        def body(params, lat, t, text):
+            if want_store:
+                eps, v = self.unet.apply(
+                    params['unet'], lat, t, text, ctrl=store_ctrl,
+                    mutable=['attn_store'])
+                store = _flatten_attn_store(v['attn_store'])
+                store = {k: a.astype(lat.dtype) for k, a in store.items()}
+            else:
+                eps = self.unet.apply(params['unet'], lat, t, text)
+                store = {}
+            new_lat = ddim_inverse_step(
+                self.sched, eps, t, lat,
+                num_inference_steps).astype(lat.dtype)
+            return new_lat, store
+
+        def encode(params, pixels, text):
             latents = self.vae.apply(params['vae'],
                                      pixels.astype(jnp.float32),
                                      method=AutoencoderKL.encode_video)
-            latents = latents.astype(text.dtype)
+            return latents.astype(text.dtype)
 
-            def body(lat, t):
-                if want_store:
-                    eps, v = self.unet.apply(
-                        params['unet'], lat, t, text, ctrl=store_ctrl,
-                        mutable=['attn_store'])
-                    store = _flatten_attn_store(v['attn_store'])
-                    store = {k: a.astype(lat.dtype)
-                             for k, a in store.items()}
-                else:
-                    eps = self.unet.apply(params['unet'], lat, t, text)
-                    store = {}
-                new_lat = ddim_inverse_step(
-                    self.sched, eps, t, lat,
-                    num_inference_steps).astype(lat.dtype)
-                return new_lat, {'latents': new_lat, 'attn': store}
+        if loop == 'scan':
+            def fn(params, pixels, text):
+                latents = encode(params, pixels, text)
 
-            final, per_step = jax.lax.scan(body, latents, ts)
-            return final, per_step
+                def scan_body(lat, t):
+                    new_lat, store = body(params, lat, t, text)
+                    return new_lat, {'latents': new_lat, 'attn': store}
 
-        jfn = self._cached(('invert', num_inference_steps, pixels.shape,
-                            want_store, store_ctrl.mode), fn)
-        return jfn(self.params, pixels, text)
+                return jax.lax.scan(scan_body, latents, ts)
+
+            jfn = self._cached(('invert', num_inference_steps, pixels.shape,
+                                want_store, store_ctrl.mode), fn)
+            return jfn(self.params, pixels, text)
+
+        enc = self._cached(('invert_enc', pixels.shape),
+                           lambda params, px, tx: encode(params, px, tx))
+        step = self._cached(('invert_step', num_inference_steps,
+                             pixels.shape, want_store, store_ctrl.mode),
+                            body)
+        lat = enc(self.params, pixels, text)
+        lat_hist, attn_hist = [], []
+        for t in np.asarray(ts):
+            lat, store = step(self.params, lat, jnp.asarray(t), text)
+            lat_hist.append(lat)
+            attn_hist.append(store)
+        per_step = {
+            'latents': jnp.stack(lat_hist),
+            'attn': jax.tree.map(lambda *xs: jnp.stack(xs), *attn_hist)
+            if want_store else {},
+        }
+        return lat, per_step
 
     # ------------------------------------------------------------- sampling
     def sample(self,
@@ -187,6 +225,7 @@ class VideoSwapPipeline:
                guidance_rescale: float = 0.0,
                edit_bundle: Optional[EditBundle] = None,
                rng: Optional[jax.Array] = None,
+               loop: str = 'auto',
                output_type: str = 'pil'):
         """The reference `__call__` (:426-619): CFG DDIM sampling from
         (usually) inverted latents with point-adapter residual guidance and
@@ -218,65 +257,60 @@ class VideoSwapPipeline:
 
         ecfg = edit_bundle.cfg if edit_bundle is not None else None
         do_edit = ecfg is not None
+        loop = self._default_loop(loop)
 
-        def fn(params, latents, text, adapter_states, estate, xs_extra,
-               sums0):
-            def body(carry, step):
-                lat, sums = carry
-                i, t = step['i'], step['t']
-                inp = jnp.concatenate([lat, lat], 0) if do_cfg else lat
-                if has_adapter:
-                    gate = ((i >= lo) & (i <= hi)).astype(inp.dtype)
-                    res = [s * gate for s in adapter_states]
-                else:
-                    res = None
+        def step_body(params, carry, step, text, adapter_states, estate):
+            lat, sums = carry
+            i, t = step['i'], step['t']
+            inp = jnp.concatenate([lat, lat], 0) if do_cfg else lat
+            if has_adapter:
+                gate = ((i >= lo) & (i <= hi)).astype(inp.dtype)
+                res = [s * gate for s in adapter_states]
+            else:
+                res = None
 
-                tgt_maps = {}
-                if do_edit:
-                    state = {'alpha_words': estate['alpha_words'][i]}
-                    state['base'] = step.get('base_cross', {})
-                    if 'base_self' in step:
-                        state['base_self'] = step['base_self']
-                        state['self_on'] = ((i >= ecfg.self_range[0])
-                                            & (i < ecfg.self_range[1]))
-                    if ecfg.blend_self:
-                        state['self_mask'] = self_masks_for_step(
-                            ecfg, estate, state['base'])
-                    ctrl = make_store_edit_ctrl(ecfg, estate, state)
-                    if ctrl.mode == 'store_edit':
-                        eps, v = self.unet.apply(
-                            params['unet'], inp, t, text,
-                            adapter_residuals=res, ctrl=ctrl,
-                            mutable=['attn_store'])
-                        f = ecfg.video_length
-                        for k, m in _flatten_attn_store(
-                                v['attn_store']).items():
-                            tgt_maps[k] = m[f:] if do_cfg else m
-                    else:
-                        eps = self.unet.apply(params['unet'], inp, t, text,
-                                              adapter_residuals=res,
-                                              ctrl=ctrl)
+            tgt_maps = {}
+            if do_edit:
+                state = {'alpha_words': estate['alpha_words'][i]}
+                state['base'] = step.get('base_cross', {})
+                if 'base_self' in step:
+                    state['base_self'] = step['base_self']
+                    state['self_on'] = ((i >= ecfg.self_range[0])
+                                        & (i < ecfg.self_range[1]))
+                if ecfg.blend_self:
+                    state['self_mask'] = self_masks_for_step(
+                        ecfg, estate, state['base'])
+                ctrl = make_store_edit_ctrl(ecfg, estate, state)
+                if ctrl.mode == 'store_edit':
+                    eps, v = self.unet.apply(
+                        params['unet'], inp, t, text,
+                        adapter_residuals=res, ctrl=ctrl,
+                        mutable=['attn_store'])
+                    f = ecfg.video_length
+                    for k, m in _flatten_attn_store(
+                            v['attn_store']).items():
+                        tgt_maps[k] = m[f:] if do_cfg else m
                 else:
                     eps = self.unet.apply(params['unet'], inp, t, text,
-                                          adapter_residuals=res)
+                                          adapter_residuals=res,
+                                          ctrl=ctrl)
+            else:
+                eps = self.unet.apply(params['unet'], inp, t, text,
+                                      adapter_residuals=res)
 
-                if do_cfg:
-                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                    eps = eps_u + guidance_scale * (eps_c - eps_u)
-                    if guidance_rescale > 0.0:
-                        eps = rescale_noise_cfg(eps, eps_c, guidance_rescale)
-                lat = ddim_step(self.sched, eps.astype(lat.dtype), t, lat,
-                                num_inference_steps).astype(lat.dtype)
+            if do_cfg:
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                if guidance_rescale > 0.0:
+                    eps = rescale_noise_cfg(eps, eps_c, guidance_rescale)
+            lat = ddim_step(self.sched, eps.astype(lat.dtype), t, lat,
+                            num_inference_steps).astype(lat.dtype)
 
-                if do_edit and ecfg.blend_latents:
-                    lat, sums = latent_blend_step(
-                        ecfg, estate, lat, step['inv_latents'],
-                        step['base_cross'], sums, tgt_maps, i)
-                return (lat, sums), None
-
-            xs = {'i': jnp.arange(len(ts)), 't': ts, **xs_extra}
-            (lat, _), _ = jax.lax.scan(body, (latents, sums0), xs)
-            return lat
+            if do_edit and ecfg.blend_latents:
+                lat, sums = latent_blend_step(
+                    ecfg, estate, lat, step['inv_latents'],
+                    step['base_cross'], sums, tgt_maps, i)
+            return lat, sums
 
         if do_edit:
             estate = edit_bundle.static_state
@@ -287,9 +321,34 @@ class VideoSwapPipeline:
 
         key = ('sample', num_inference_steps, latents.shape, do_cfg,
                has_adapter, guidance_scale, t2i_start, t2i_end,
-               t2i_guidance_scale, guidance_rescale, ecfg)
-        lat = self._cached(key, fn)(self.params, latents, text,
-                                    adapter_states, estate, xs_extra, sums0)
+               t2i_guidance_scale, guidance_rescale, ecfg, loop)
+        if loop == 'scan':
+            def fn(params, latents, text, adapter_states, estate, xs_extra,
+                   sums0):
+                def body(carry, step):
+                    return step_body(params, carry, step, text,
+                                     adapter_states, estate), None
+
+                xs = {'i': jnp.arange(len(ts)), 't': ts, **xs_extra}
+                (lat, _), _ = jax.lax.scan(body, (latents, sums0), xs)
+                return lat
+
+            lat = self._cached(key, fn)(self.params, latents, text,
+                                        adapter_states, estate, xs_extra,
+                                        sums0)
+        else:
+            def fn(params, carry, step, text, adapter_states, estate):
+                return step_body(params, carry, step, text, adapter_states,
+                                 estate)
+
+            step_jit = self._cached(key, fn)
+            carry = (latents, sums0)
+            for i in range(len(ts)):
+                step = {'i': jnp.asarray(i), 't': ts[i]}
+                step.update(jax.tree.map(lambda a: a[i], xs_extra))
+                carry = step_jit(self.params, carry, step, text,
+                                 adapter_states, estate)
+            lat = carry[0]
 
         if output_type == 'latent':
             return lat
