@@ -76,3 +76,26 @@ def test_flash_attention_matches_reference(rng, sq, sk, d):
     ref = _ref_attention(np.asarray(qf), np.asarray(kf), np.asarray(vf),
                          heads=1).reshape(1, h, sq, d).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
+
+
+def test_chunked_attention_matches_and_differentiates(rng):
+    from videoswap_tpu.ops.attention import (_chunked_attention,
+                                             _split_heads, _xla_attention)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (2, 2048, 64))
+    k = jax.random.normal(k2, (2, 2048, 64))
+    v = jax.random.normal(k3, (2, 2048, 64))
+    qh, kh, vh = (_split_heads(t, 4) for t in (q, k, v))
+    out_c = _chunked_attention(qh, kh, vh, chunk=512)
+    out_x = _xla_attention(qh, kh, vh)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_x),
+                               atol=2e-5)
+
+    # gradients flow and match the plain implementation
+    def loss(fn, q):
+        qh = _split_heads(q, 4)
+        return (fn(qh, kh, vh) ** 2).sum()
+
+    g_c = jax.grad(lambda q: loss(lambda *a: _chunked_attention(*a, chunk=512), q))(q)
+    g_x = jax.grad(lambda q: loss(_xla_attention, q))(q)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_x), atol=2e-3)

@@ -35,6 +35,7 @@ class BasicTransformerBlock(nn.Module):
     place: str            # 'down' | 'mid' | 'up'
     attn_index: int       # per-place spatial-attention counter
     cross_layer_idx: int  # global cross-attn layer index (ED-LoRA slicing)
+    attn_impl: str = 'auto'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -47,10 +48,11 @@ class BasicTransformerBlock(nn.Module):
 
         attn1 = Attention(query_dim=self.dim, heads=self.heads,
                           dim_head=self.dim_head, dtype=self.dtype,
-                          name='attn1')
+                          attn_impl=self.attn_impl, name='attn1')
         attn2 = Attention(query_dim=self.dim, heads=self.heads,
                           dim_head=self.dim_head,
                           cross_attention_dim=self.cross_attention_dim,
+                          attn_impl=self.attn_impl,
                           dtype=self.dtype, name='attn2')
 
         if text.ndim == 4:
@@ -90,6 +92,7 @@ class Transformer3DModel(nn.Module):
     attn_index: int
     cross_layer_idx: int
     norm_groups: int = 32
+    attn_impl: str = 'auto'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -115,7 +118,8 @@ class Transformer3DModel(nn.Module):
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 cross_attention_dim=self.cross_attention_dim,
                 place=self.place, attn_index=self.attn_index + i,
-                cross_layer_idx=self.cross_layer_idx + i, dtype=self.dtype,
+                cross_layer_idx=self.cross_layer_idx + i,
+                attn_impl=self.attn_impl, dtype=self.dtype,
                 name=f'transformer_blocks_{i}')(x, text, ctrl)
 
         x = x.reshape(b * f, hh, ww, inner)

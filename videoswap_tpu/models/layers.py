@@ -61,6 +61,7 @@ class Attention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     cross_attention_dim: Optional[int] = None
+    attn_impl: str = 'auto'   # 'auto' | 'chunked' | 'xla' (ops/attention)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,7 +86,8 @@ class Attention(nn.Module):
                                               edit_fn=edit_fn)
         else:
             out = dot_product_attention(q, k, v, self.heads,
-                                        use_flash=use_flash)
+                                        use_flash=use_flash,
+                                        impl=self.attn_impl)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name='to_out_0')(out)
         if want_probs:
             return out, probs

@@ -65,6 +65,7 @@ class CrossAttnDownBlock3D(nn.Module):
     use_motion: bool
     add_downsample: bool
     place_idx: int        # down block index (0..2) for attention numbering
+    attn_impl: str = 'auto'
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -83,6 +84,7 @@ class CrossAttnDownBlock3D(nn.Module):
             x = Attn(heads=heads, dim_head=self.out_channels // heads,
                      cross_attention_dim=cfg.cross_attention_dim,
                      norm_groups=cfg.norm_num_groups,
+                     attn_impl=self.attn_impl,
                      num_layers=1, place='down',
                      attn_index=self.place_idx * n + i,
                      cross_layer_idx=self.place_idx * n + i,
@@ -144,6 +146,7 @@ class DownBlock3D(nn.Module):
 class UNetMidBlock3DCrossAttn(nn.Module):
     cfg: UNet3DConfig
     use_motion: bool
+    attn_impl: str = 'auto'
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -158,7 +161,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 dtype=self.dtype, name='resnets_0')(x, temb)
         x = Attn(heads=heads, dim_head=ch // heads,
                  cross_attention_dim=cfg.cross_attention_dim,
-                 norm_groups=cfg.norm_num_groups, num_layers=1,
+                 norm_groups=cfg.norm_num_groups,
+                 attn_impl=self.attn_impl, num_layers=1,
                  place='mid', attn_index=0,
                  cross_layer_idx=len(cfg.block_out_channels
                                      [:-1]) * cfg.layers_per_block,
@@ -181,6 +185,7 @@ class CrossAttnUpBlock3D(nn.Module):
     use_motion: bool
     add_upsample: bool
     place_idx: int        # up block index (1..3); block 0 has no attention
+    attn_impl: str = 'auto'
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -201,6 +206,7 @@ class CrossAttnUpBlock3D(nn.Module):
             x = Attn(heads=heads, dim_head=self.out_channels // heads,
                      cross_attention_dim=cfg.cross_attention_dim,
                      norm_groups=cfg.norm_num_groups,
+                     attn_impl=self.attn_impl,
                      num_layers=1, place='up',
                      attn_index=(self.place_idx - 1) * n + i,
                      cross_layer_idx=(n_down_cross + 1
@@ -251,8 +257,13 @@ class UpBlock3D(nn.Module):
 
 @MODEL_REGISTRY.register()
 class AnimateDiffUNet3DModel(nn.Module):
-    """The flagship video U-Net. sample (B,F,H,W,4) -> eps (B,F,H,W,4)."""
+    """The flagship video U-Net. sample (B,F,H,W,4) -> eps (B,F,H,W,4).
+
+    attn_impl: 'auto' (Pallas flash for long sequences, inference),
+    'chunked' (differentiable memory-bounded attention, training at high
+    resolution), 'xla' (plain attention)."""
     cfg: UNet3DConfig = UNet3DConfig()
+    attn_impl: str = 'auto'
     dtype: jnp.dtype = jnp.float32
     gradient_checkpointing: bool = False
 
@@ -288,7 +299,8 @@ class AnimateDiffUNet3DModel(nn.Module):
             if not is_final:
                 x, s = CrossAttnDownBlock3D(
                     cfg=cfg, out_channels=ch, use_motion=use_motion,
-                    add_downsample=True, place_idx=i, dtype=self.dtype,
+                    add_downsample=True, place_idx=i,
+                    attn_impl=self.attn_impl, dtype=self.dtype,
                     remat=remat, name=f'down_blocks_{i}')(
                         x, temb, text, ctrl, res[i])
             else:
@@ -302,6 +314,7 @@ class AnimateDiffUNet3DModel(nn.Module):
         x = UNetMidBlock3DCrossAttn(
             cfg=cfg, use_motion=(cfg.use_motion_module
                                  and cfg.motion_module_mid_block),
+            attn_impl=self.attn_impl,
             dtype=self.dtype, remat=remat, name='mid_block')(
                 x, temb, text, ctrl)
 
@@ -326,7 +339,9 @@ class AnimateDiffUNet3DModel(nn.Module):
                 x = CrossAttnUpBlock3D(cfg=cfg, out_channels=ch,
                                        use_motion=use_motion,
                                        add_upsample=not is_final,
-                                       place_idx=i, dtype=self.dtype,
+                                       place_idx=i,
+                                       attn_impl=self.attn_impl,
+                                       dtype=self.dtype,
                                        remat=remat, name=f'up_blocks_{i}')(
                                            x, block_skips, temb, text, ctrl,
                                            upsample_size)

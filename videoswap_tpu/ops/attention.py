@@ -35,23 +35,53 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, s, h * d)
 
 
+def _xla_attention(qh, kh, vh):
+    scale = qh.shape[-1] ** -0.5
+    logits = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    return jnp.einsum('bhqk,bkhd->bqhd', probs, vh)
+
+
+def _chunked_attention(qh, kh, vh, chunk: int = 512):
+    """Memory-bounded differentiable attention: scan over query chunks,
+    full softmax per chunk (Rabe & Staats style). The training-path
+    replacement for xformers' memory_efficient_attention — autodiff through
+    the scan rematerializes per chunk, so peak memory is
+    O(chunk * Sk * heads) instead of O(Sq * Sk * heads)."""
+    b, sq, h, d = qh.shape
+    if sq % chunk != 0:
+        return _xla_attention(qh, kh, vh)
+    qc = qh.reshape(b, sq // chunk, chunk, h, d).transpose(1, 0, 2, 3, 4)
+
+    def body(_, qblk):
+        return None, _xla_attention(qblk, kh, vh)
+
+    _, out = jax.lax.scan(body, None, qc)
+    return out.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          heads: int, use_flash: bool | None = None
-                          ) -> jnp.ndarray:
-    """Fused multi-head attention. q: [B,Sq,D], k/v: [B,Sk,D] -> [B,Sq,D]."""
+                          heads: int, use_flash: bool | None = None,
+                          impl: str = 'auto') -> jnp.ndarray:
+    """Fused multi-head attention. q: [B,Sq,D], k/v: [B,Sk,D] -> [B,Sq,D].
+
+    impl: 'auto' (Pallas flash on TPU for long sequences — inference only,
+    no VJP yet), 'chunked' (differentiable, memory-bounded — training),
+    'xla' (plain einsum+softmax).
+    """
     qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+    big = qh.shape[1] >= 2048 and kh.shape[1] >= 2048
     if use_flash is None:
-        use_flash = (jax.default_backend() == 'tpu' and qh.shape[1] >= 2048
-                     and kh.shape[1] >= 2048)
-    if use_flash:
+        use_flash = (impl == 'auto' and big
+                     and jax.default_backend() == 'tpu')
+    if use_flash and impl != 'chunked':
         from .flash_attention import flash_attention
         out = flash_attention(qh, kh, vh)
+    elif impl == 'chunked' and big:
+        out = _chunked_attention(qh, kh, vh)
     else:
-        scale = qh.shape[-1] ** -0.5
-        logits = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
-                            preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum('bhqk,bkhd->bqhd', probs, vh)
+        out = _xla_attention(qh, kh, vh)
     return _merge_heads(out)
 
 

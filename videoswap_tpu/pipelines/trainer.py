@@ -70,6 +70,10 @@ class VideoSwapTrainer:
                              tx)
         self.tx = tx
         self._step_fn = None
+        # training needs differentiable, memory-bounded attention (the
+        # Pallas flash kernel has no VJP yet) + gradient checkpointing
+        self.unet = self.unet.clone(attn_impl='chunked',
+                                    gradient_checkpointing=True)
 
     def init_state(self, adapter_params):
         return self.tx.init(adapter_params)
