@@ -79,6 +79,11 @@ def train(root_path: str, args) -> None:
     num_frames = data_np['video'].shape[0]
     larger_dim = int(max(data_np['video'].shape[1:3]))
 
+    # the reference keeps sample_batch_size under datasets; accept both
+    if 'sample_batch_size' in opt['datasets']:
+        opt['train'].setdefault('sample_batch_size',
+                                opt['datasets']['sample_batch_size'])
+
     trainer = AtlasTrainer(nets=nets, data=data, train_opt=opt['train'],
                            larger_dim=larger_dim, num_frames=num_frames)
 

@@ -83,3 +83,25 @@ class Compose:
         for t in self.transforms:
             x = t(x)
         return x
+
+
+@TRANSFORM_REGISTRY.register()
+class T2I_Preprocess:
+    """Resize + [0,1] tensorize for image-conditioned T2I adapters
+    (reference transform.py:41-48 wrapping diffusers'
+    _preprocess_adapter_image). Output (H, W, C) float32 in [0, 1]."""
+
+    def __init__(self, height, width):
+        self.height, self.width = height, width
+
+    def __call__(self, img):
+        if isinstance(img, Image.Image):
+            img = img.resize((self.width, self.height), Image.BILINEAR)
+            return np.asarray(img, dtype=np.float32) / 255.0
+        arr = np.asarray(img, dtype=np.float32)
+        if arr.shape[:2] != (self.height, self.width):
+            arr = np.stack([
+                np.asarray(Image.fromarray(arr[..., c]).resize(
+                    (self.width, self.height), Image.BILINEAR))
+                for c in range(arr.shape[-1])], axis=-1)
+        return arr

@@ -121,3 +121,13 @@ class MessageLogger:
         for k, v in log_vars.items():
             msg += f'{k}: {float(v):.4e} '
         self.logger.info(msg)
+
+
+def reduce_loss_dict(loss_dict: dict) -> dict:
+    """Cross-process loss averaging (reference logger.py:198-224 used
+    accelerate.reduce over NCCL). Under pjit/GSPMD a jitted loss is already
+    a GLOBAL value on every process (the mean runs inside the compiled
+    program, reduced over ICI/DCN by XLA), so this only fetches host
+    floats; log on jax.process_index() == 0."""
+    import jax
+    return {k: float(jax.device_get(v)) for k, v in loss_dict.items()}
