@@ -2,6 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import jax.experimental.pallas as pl
 
 from videoswap_tpu.ops import attention_with_probs, dot_product_attention
 from videoswap_tpu.ops.flash_attention import flash_attention
@@ -99,3 +100,44 @@ def test_chunked_attention_matches_and_differentiates(rng):
     g_c = jax.grad(lambda q: loss(lambda *a: _chunked_attention(*a, chunk=512), q))(q)
     g_x = jax.grad(lambda q: loss(_xla_attention, q))(q)
     np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_x), atol=2e-3)
+
+
+def test_flash_attention_vjp_matches_reference(rng):
+    """Flash backward (Pallas kernels, interpret mode) vs autodiff through
+    plain attention."""
+    from unittest import mock
+    import videoswap_tpu.ops.flash_attention as fa
+    from videoswap_tpu.ops.attention import _split_heads, _xla_attention
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    sq, sk, h, d = 256, 300, 2, 40
+    q = jax.random.normal(k1, (1, sq, h, d), jnp.float32)
+    k = jax.random.normal(k2, (1, sk, h, d), jnp.float32)
+    v = jax.random.normal(k3, (1, sk, h, d), jnp.float32)
+    ct = jax.random.normal(k4, (1, sq, h, d), jnp.float32)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw['interpret'] = True
+        kw.pop('compiler_params', None)
+        return orig(*a, **kw)
+
+    def loss_flash(q, k, v):
+        return (fa.flash_attention.__wrapped__(q, k, v, 128, 128) * ct).sum()
+
+    def loss_ref(q, k, v):
+        out = _xla_attention(*( _split_heads(t.reshape(1, t.shape[1], h * d), h)
+                                for t in (q, k, v)))
+        return (out * ct).sum()
+
+    with jax.disable_jit(), mock.patch.object(fa.pl, 'pallas_call', interp):
+        o_f = fa.flash_attention.__wrapped__(q, k, v, 128, 128)
+        g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    o_r = _xla_attention(*(_split_heads(t.reshape(1, t.shape[1], h * d), h)
+                           for t in (q, k, v)))
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_r), atol=2e-3)
+    for a, b, name in zip(g_f, g_r, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   err_msg=f'grad {name}')

@@ -1,17 +1,27 @@
-"""Pallas TPU flash attention.
+"""Pallas TPU flash attention with a custom VJP.
 
 TPU-native replacement for the reference's xformers
 `memory_efficient_attention` (used for all spatial attention sites with
 >= 32^2 query tokens, /root/reference/videoswap/utils/p2p_utils/
-attention_register.py:66-67). Non-causal, no mask in the hot path (SD
-spatial/cross/temporal attention never uses one); KV-length masking handles
-sequence padding.
+attention_register.py:66-67, and for training at high resolution).
+Non-causal, no mask in the hot path (SD spatial/cross/temporal attention
+never uses one); KV-length masking handles sequence padding.
 
-Online-softmax tiling: grid (batch*heads, q_blocks, k_blocks), running
-max/denominator in VMEM scratch, fp32 accumulation, output written on the
-last k block. Head dim is zero-padded to a lane multiple (128) by the
-wrapper; zero columns do not perturb q.k^T, and the padded value columns are
-cropped after the kernel.
+Forward: online-softmax tiling — grid (batch*heads, q_blocks, k_blocks),
+running max/denominator in VMEM scratch, fp32 accumulation, out + row
+logsumexp written on the last k block.
+
+Backward (standard flash decomposition, two kernels):
+  D  = rowsum(dout * out)                      (fused by XLA outside)
+  p  = exp(q k^T * scale - lse)
+  dv = p^T dout ;  dp = dout v^T ;  ds = p (dp - D)
+  dq = ds k * scale  (grid over q blocks, loop k)
+  dk = ds^T q * scale (grid over k blocks, loop q)
+Zero-padded dout/D rows and +inf-padded lse rows make the padding
+contribute exactly zero.
+
+Head dim is zero-padded to a lane multiple (128) by the wrapper; zero
+columns do not perturb q.k^T, and padded value columns are cropped after.
 """
 
 from __future__ import annotations
@@ -24,10 +34,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+POS_INF = 1e30
 
 
-def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_ref, l_ref, acc_ref, *, block_k: int, scale: float):
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# --------------------------------------------------------------- forward
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_ref, l_ref, acc_ref, *, block_k: int, scale: float,
+                kv_len: int):
     kv_blocks = pl.num_programs(2)
     kb = pl.program_id(2)
 
@@ -37,43 +54,213 @@ def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                      # [bq, d]
-    k = k_ref[0]                      # [bk, d]
+    q = q_ref[0]
+    k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [bq, bk]
+        preferred_element_type=jnp.float32) * scale
 
-    # mask out KV padding in the last block
-    kv_len = kv_len_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
     s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_ref[:]                                  # [bq, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                             # [bq, bk]
-    alpha = jnp.exp(m_prev - m_new)                    # [bq, 1]
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
 
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [bq, d]
+        preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha + pv
 
     @pl.when(kb == kv_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+def _fwd_core(qp, kp, vp, *, scale, block_q, block_k, kv_len):
+    bh, sq_p, d_p = qp.shape
+    sk_p = kp.shape[1]
+    grid = (bh, sq_p // block_q, sk_p // block_k)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, scale=scale,
+                          kv_len=kv_len),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_p, d_p), qp.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+    )(qp, kp, vp)
+    return out, lse
+
+
+# -------------------------------------------------------------- backward
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref,
+                   acc_ref, *, block_k: int, scale: float, kv_len: int):
+    kv_blocks = pl.num_programs(2)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+    p = jnp.where(col < kv_len, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+    dp = jax.lax.dot_general(
+        do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - dd_ref[0][:, None])
+    acc_ref[:] += jax.lax.dot_general(
+        ds.astype(jnp.float32), k.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kb == kv_blocks - 1)
+    def _fin():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, block_k: int,
+                    scale: float, kv_len: int):
+    q_blocks = pl.num_programs(2)
+    qb = pl.program_id(2)
+    jb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jb * block_k
+    p = jnp.where(col < kv_len, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+    do = do_ref[0].astype(jnp.float32)
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dd_ref[0][:, None])
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qb == q_blocks - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_core(res, g, *, scale, block_q, block_k, kv_len):
+    qp, kp, vp, out, lse = res
+    bh, sq_p, d_p = qp.shape
+    sk_p = kp.shape[1]
+    do = g
+    dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                 axis=-1)                               # (BH, Sq_p)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, scale=scale,
+                          kv_len=kv_len),
+        grid=(bh, sq_p // block_q, sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d_p), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), qp.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+    )(qp, kp, vp, do, lse, dd)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_k=block_k, scale=scale,
+                          kv_len=kv_len),
+        grid=(bh, sk_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d_p), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_p), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk_p, d_p), kp.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, d_p), vp.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_k, d_p), jnp.float32),
+                        pltpu.VMEM((block_k, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+    )(qp, kp, vp, do, lse, dd)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------------ custom VJP
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_padded(qp, kp, vp, scale, block_q, block_k, kv_len):
+    out, _ = _fwd_core(qp, kp, vp, scale=scale, block_q=block_q,
+                       block_k=block_k, kv_len=kv_len)
+    return out
+
+
+def _flash_padded_fwd(qp, kp, vp, scale, block_q, block_k, kv_len):
+    out, lse = _fwd_core(qp, kp, vp, scale=scale, block_q=block_q,
+                         block_k=block_k, kv_len=kv_len)
+    return out, (qp, kp, vp, out, lse)
+
+
+def _flash_padded_bwd(scale, block_q, block_k, kv_len, res, g):
+    return _bwd_core(res, g, scale=scale, block_q=block_q,
+                     block_k=block_k, kv_len=kv_len)
+
+
+_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=('block_q', 'block_k'))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
-    """q: [B, Sq, H, D], k/v: [B, Sk, H, D] -> [B, Sq, H, D]."""
+    """q: [B, Sq, H, D], k/v: [B, Sk, H, D] -> [B, Sq, H, D].
+    Differentiable (custom VJP with Pallas backward kernels)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = d ** -0.5
@@ -89,34 +276,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return jnp.pad(x, ((0, 0), (0, s_p - x.shape[1]), (0, d_p - d)))
 
     qp, kp, vp = prep(q, sq_p), prep(k, sk_p), prep(v, sk_p)
-    kv_len = jnp.asarray([sk], dtype=jnp.int32)
-
-    grid = (b * h, sq_p // block_q, sk_p // block_k)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d_p),
-                             lambda bh, i, j, *_: (bh, i, 0)),
-                pl.BlockSpec((1, block_k, d_p),
-                             lambda bh, i, j, *_: (bh, j, 0)),
-                pl.BlockSpec((1, block_k, d_p),
-                             lambda bh, i, j, *_: (bh, j, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, d_p),
-                                   lambda bh, i, j, *_: (bh, i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, d_p), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d_p), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
-    )(kv_len, qp, kp, vp)
-
+    out = _flash_padded(qp, kp, vp, scale, block_q, block_k, sk)
     out = out[:, :sq, :d].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
