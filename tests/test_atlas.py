@@ -192,3 +192,14 @@ def test_propagation_flow(atlas_setup):
     # untouched point keeps its track
     np.testing.assert_allclose(out[:, 1], 5.0)
     assert np.isfinite(out).all()
+
+
+def test_atlas_texture_and_checker_renders(atlas_setup):
+    trainer, params, data_np = atlas_setup
+    from videoswap_tpu.atlas.evaluate import (render_atlas_texture,
+                                              render_checkerboard)
+    tex = render_atlas_texture(trainer.nets, params, 'fg', resolution=32)
+    assert tex.shape == (32, 32, 3) and np.isfinite(tex).all()
+    chk = render_checkerboard(trainer.nets, params, 16, 16, 4,
+                              trainer.norm_s, trainer.norm_t, squares=4)
+    assert chk.shape == (4, 16, 16, 3) and np.isfinite(chk).all()

@@ -17,8 +17,9 @@ Backward (standard flash decomposition, two kernels):
   dv = p^T dout ;  dp = dout v^T ;  ds = p (dp - D)
   dq = ds k * scale  (grid over q blocks, loop k)
   dk = ds^T q * scale (grid over k blocks, loop q)
-Zero-padded dout/D rows and +inf-padded lse rows make the padding
-contribute exactly zero.
+Zero-padded dout/D rows and masked KV columns make the padding contribute
+exactly zero. lse/D are lane-replicated to (.., 128) to satisfy TPU block
+tiling.
 
 Head dim is zero-padded to a lane multiple (128) by the wrapper; zero
 columns do not perturb q.k^T, and padded value columns are cropped after.
@@ -78,7 +79,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(kb == kv_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        # lane-replicated: TPU blocks need a 128-divisible minor dim
+        lse_ref[0] = jnp.broadcast_to(m_ref[:] + jnp.log(l_ref[:]),
+                                      (m_ref.shape[0], 128))
 
 
 def _fwd_core(qp, kp, vp, *, scale, block_q, block_k, kv_len):
@@ -96,11 +99,11 @@ def _fwd_core(qp, kp, vp, *, scale, block_q, block_k, kv_len):
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d_p), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, i, j: (bh, i, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq_p, d_p), qp.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq_p, 128), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -128,11 +131,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
-    p = jnp.where(col < kv_len, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+    p = jnp.where(col < kv_len, jnp.exp(s - lse_ref[0][:, 0:1]), 0.0)
     dp = jax.lax.dot_general(
         do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - dd_ref[0][:, None])
+    ds = p * (dp - dd_ref[0][:, 0:1])
     acc_ref[:] += jax.lax.dot_general(
         ds.astype(jnp.float32), k.astype(jnp.float32),
         (((1,), (0,)), ((), ())),
@@ -160,7 +163,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jb * block_k
-    p = jnp.where(col < kv_len, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+    p = jnp.where(col < kv_len, jnp.exp(s - lse_ref[0][:, 0:1]), 0.0)
     do = do_ref[0].astype(jnp.float32)
     dv_acc[:] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
@@ -168,7 +171,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - dd_ref[0][:, None])
+    ds = p * (dp - dd_ref[0][:, 0:1])
     dk_acc[:] += jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -185,7 +188,8 @@ def _bwd_core(res, g, *, scale, block_q, block_k, kv_len):
     sk_p = kp.shape[1]
     do = g
     dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                 axis=-1)                               # (BH, Sq_p)
+                 axis=-1, keepdims=True)                # (BH, Sq_p, 1)
+    dd = jnp.broadcast_to(dd, dd.shape[:2] + (128,))    # lane-replicated
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, scale=scale,
@@ -196,8 +200,8 @@ def _bwd_core(res, g, *, scale, block_q, block_k, kv_len):
             pl.BlockSpec((1, block_k, d_p), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d_p), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_q, d_p), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d_p), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), qp.dtype),
@@ -215,8 +219,8 @@ def _bwd_core(res, g, *, scale, block_q, block_k, kv_len):
             pl.BlockSpec((1, block_k, d_p), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, block_k, d_p), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, block_q, d_p), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, d_p), lambda b, j, i: (b, j, 0)),
