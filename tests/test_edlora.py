@@ -129,3 +129,52 @@ def test_convert_edlora_params_nesting(pipe):
     sd = {'params': _fake_edlora_ckpt()}
     cfg = convert_edlora(pipe, sd, enable_edlora=True, alpha=0.5)
     assert 'catA1' in cfg
+
+
+def test_text_encoder_lora_merge_parity_with_torch():
+    """Merge a LoRA into the TORCH CLIP text encoder manually, convert to
+    flax, and compare against our merge of the same LoRA on converted
+    unmerged weights — end-to-end numerical parity of the merge path."""
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModel as HFModel
+
+    from videoswap_tpu.models.clip_text import (CLIPTextConfig,
+                                                CLIPTextModel)
+    from videoswap_tpu.models.converters import (clip_key_map,
+                                                 convert_text_encoder)
+
+    hf_cfg = HFConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      max_position_embeddings=16, hidden_act='quick_gelu')
+    torch.manual_seed(1)
+    hf = HFModel(hf_cfg).eval()
+
+    rank, alpha = 2, 0.8
+    tgt = 'text_model.encoder.layers.1.mlp.fc1'
+    down = torch.randn(rank, 32)
+    up = torch.randn(64, rank)
+    lora_sd = {f'{tgt}.lora_down.weight': down,
+               f'{tgt}.lora_up.weight': up}
+
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                         num_heads=4, max_position_embeddings=16,
+                         intermediate_size=64)
+    model = CLIPTextModel(cfg=cfg)
+    ids = np.array([[3, 7, 42, 5]], dtype=np.int32)
+    params0 = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+
+    # path A: our functional merge on converted weights
+    base = convert_text_encoder(dict(hf.state_dict()), params0['params'])
+    merged, n = merge_lora_into_params(base, lora_sd, 'text_encoder',
+                                       alpha, key_map=clip_key_map)
+    assert n == 1
+    out_a = model.apply({'params': merged}, jnp.asarray(ids))
+
+    # path B: merge in torch, then convert
+    sd = dict(hf.state_dict())
+    sd[f'{tgt}.weight'] = sd[f'{tgt}.weight'] + alpha * (up @ down)
+    out_b = model.apply({'params': convert_text_encoder(
+        sd, params0['params'])}, jnp.asarray(ids))
+
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-5)
