@@ -61,25 +61,44 @@ def _chunked_attention(qh, kh, vh, chunk: int = 512):
     return out.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
 
 
+def _vpu_small_attention(qh, kh, vh):
+    """Tiny-sequence attention (the temporal/motion F<=24 axis) as
+    broadcast-multiply-reduce fusions: per-location 16x16 matmuls waste
+    >90%% of an MXU pass, while the VPU reduce-fusion runs ~1.6x faster at
+    level-0 shapes (measured on v5e: 8.1 vs 13.0 ms for
+    L=8192,F=16,h=8,d=40)."""
+    d = qh.shape[-1]
+    s = (qh[:, :, None].astype(jnp.float32)
+         * kh[:, None, :, :].astype(jnp.float32)).sum(-1) * d ** -0.5
+    p = jax.nn.softmax(s, axis=2)                        # (B, Sq, Sk, h)
+    return (p[..., None].astype(vh.dtype) * vh[:, None]).sum(2)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           heads: int, use_flash: bool | None = None,
                           impl: str = 'auto') -> jnp.ndarray:
     """Fused multi-head attention. q: [B,Sq,D], k/v: [B,Sk,D] -> [B,Sq,D].
 
-    impl: 'auto' (Pallas flash on TPU for long sequences — inference only,
-    no VJP yet), 'chunked' (differentiable, memory-bounded — training),
-    'xla' (plain einsum+softmax).
+    impl routing (measured on v5e at SD-1.5 shapes, see CLAUDE.md):
+    - 'auto': tiny sequences (<=32, the temporal axis) -> VPU
+      broadcast-reduce; everything else -> XLA einsum+softmax (which is
+      probs-bandwidth-bound but still beats the d-padded flash kernel at
+      head_dim 40);
+    - 'flash': the Pallas flash kernel (use for memory-bound cases /
+      head_dim >= 128; differentiable via custom VJP);
+    - 'chunked': scan over query blocks (training at high resolution);
+    - 'xla': plain einsum+softmax.
     """
     qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
-    big = qh.shape[1] >= 2048 and kh.shape[1] >= 2048
-    if use_flash is None:
-        use_flash = (impl == 'auto' and big
-                     and jax.default_backend() == 'tpu')
-    if use_flash and impl != 'chunked':
+    sq, sk = qh.shape[1], kh.shape[1]
+    big = sq >= 2048 and sk >= 2048
+    if impl == 'flash' or use_flash is True:
         from .flash_attention import flash_attention
         out = flash_attention(qh, kh, vh)
     elif impl == 'chunked' and big:
         out = _chunked_attention(qh, kh, vh)
+    elif sq == sk and sq <= 32:
+        out = _vpu_small_attention(qh, kh, vh)
     else:
         out = _xla_attention(qh, kh, vh)
     return _merge_heads(out)
