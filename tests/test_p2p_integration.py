@@ -45,12 +45,13 @@ def pipe():
                              params=params)
 
 
-def test_blend_validation_flow(pipe):
+def test_blend_validation_flow(pipe, tmp_path):
     video = np.random.RandomState(0).rand(1, F, H, W, 3).astype(
         np.float32) * 2 - 1
     editing_config = {
         'use_invertion_latents': True,
         'use_blend': True,
+        'visualize_attention': True,
         'num_inference_steps': 3,
         'guidance_scale': 7.5,
         'editing_prompts': {
@@ -62,8 +63,9 @@ def test_blend_validation_flow(pipe):
         },
     }
     results = pipe.validation(video, None, 'a cat on the floor',
-                              editing_config)
+                              editing_config, save_dir=str(tmp_path))
     assert set(results) == {'swap', 'swap_defaults'}
+    assert (tmp_path / 'swap_attention' / 'cross_attention.png').is_file()
     for frames in results.values():
         assert len(frames) == F
         arr = np.asarray(frames[0])

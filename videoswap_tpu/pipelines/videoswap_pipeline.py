@@ -367,6 +367,42 @@ class VideoSwapPipeline:
         from PIL import Image
         return [Image.fromarray(f) for f in video[0]]
 
+    def _dump_attention_maps(self, prompt: str, frames, key: str,
+                             save_dir: str) -> None:
+        """Cross-attention heatmaps for a finished edit (reference
+        visualize_attention, pipeline_videoswap.py:404-415 — the reference
+        aggregates maps over all editing steps; here one U-Net pass on the
+        result's latents at a mid timestep captures the maps)."""
+        import os
+        from videoswap_tpu.p2p.edit import _flatten_attn_store
+        from videoswap_tpu.p2p.visualization import show_cross_attention
+        from videoswap_tpu.utils.image import preprocess_video
+        from videoswap_tpu.p2p import sites as p2p_sites
+
+        pixels = jnp.asarray(preprocess_video(frames))
+        h8, w8 = pixels.shape[2] // 8, pixels.shape[3] // 8
+        store_ctrl = AttnCtrl(
+            mode='store',
+            store_filter=lambda site, q: site.kind == 'cross')
+        text = self.encode_prompt([prompt])
+
+        def fn(params, pixels, text):
+            lat = self.vae.apply(params['vae'],
+                                 pixels.astype(jnp.float32),
+                                 method=AutoencoderKL.encode_video)
+            _, v = self.unet.apply(params['unet'], lat.astype(text.dtype),
+                                   jnp.asarray(261), text, ctrl=store_ctrl,
+                                   mutable=['attn_store'])
+            return _flatten_attn_store(v['attn_store'])
+
+        store = jax.device_get(self._cached(
+            ('attn_viz', pixels.shape), fn)(self.params, pixels, text))
+        blend = p2p_sites.blend_sites(h8, w8)
+        if blend:
+            ry, rx = p2p_sites.site_hw(blend[0], h8, w8)
+            show_cross_attention(self.tokenizer, prompt, store, ry, rx,
+                                 os.path.join(save_dir, f'{key}_attention'))
+
     # ------------------------------------------------------------ validation
     def validation(self, source_video, source_conditions, source_prompt,
                    editing_config: dict, train_dataset=None, save_dir=None):
@@ -471,6 +507,10 @@ class VideoSwapPipeline:
                 from videoswap_tpu.utils.vis_util import overlay_points
                 results[key + '_vispoint'] = overlay_points(
                     [f.copy() for f in frames], conditions)
+
+            if cfg.get('visualize_attention') and save_dir is not None:
+                self._dump_attention_maps(target_prompt, frames, key,
+                                          save_dir)
 
             if lora_ctx is not None:
                 from videoswap_tpu.edlora import restore_pipeline
