@@ -135,8 +135,8 @@ def train(root_path: str, args) -> None:
             if 'FG_UV_Mapping_Inverse' in params:
                 from videoswap_tpu.atlas.propagate import bind_nets
                 fg, inv, _ = bind_nets(nets, params)
-                pt = jnp.asarray([[trainer.norm_s(50.0),
-                                   trainer.norm_s(40.0),
+                pt = jnp.asarray([[trainer.norm_s(trainer.res_x / 2.0),
+                                   trainer.norm_s(trainer.res_y / 2.0),
                                    trainer.norm_t(num_frames // 2)]])
                 roundtrip = inv(jnp.concatenate(
                     [fg(pt), pt[:, 2:]], axis=-1))
