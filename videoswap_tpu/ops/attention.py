@@ -54,8 +54,13 @@ def _chunked_attention(qh, kh, vh, chunk: int = 512):
         return _xla_attention(qh, kh, vh)
     qc = qh.reshape(b, sq // chunk, chunk, h, d).transpose(1, 0, 2, 3, 4)
 
+    # checkpoint the body: otherwise autodiff-of-scan saves EVERY chunk's
+    # probability tensor as residuals (at 512^2 that is ~12 GB and OOMs a
+    # 16 GB chip); rematting recomputes each chunk's probs in the backward.
+    attn = jax.checkpoint(_xla_attention)
+
     def body(_, qblk):
-        return None, _xla_attention(qblk, kh, vh)
+        return None, attn(qblk, kh, vh)
 
     _, out = jax.lax.scan(body, None, qc)
     return out.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
