@@ -131,7 +131,10 @@ def test_trainer_step_decreases_nan_free(pipe):
         tune_cfg={'drop_rate': 0.2, 'min_timestep': 0.5,
                   'loss_type': 'local'},
         optimizer_cfg={'lr': 1e-3})
-    adapter_params = pipe.params['adapter']['params']
+    # copy: trainer.step donates its adapter-param argument and the module
+    # fixture's params are shared with later tests
+    adapter_params = jax.tree.map(jnp.copy,
+                                  pipe.params['adapter']['params'])
     opt_state = trainer.init_state(adapter_params)
     batch = {
         'pixels': jnp.asarray(np.random.RandomState(0).rand(
