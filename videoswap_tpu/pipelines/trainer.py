@@ -70,8 +70,12 @@ class VideoSwapTrainer:
                              tx)
         self.tx = tx
         self._step_fn = None
-        # training needs differentiable, memory-bounded attention (the
-        # Pallas flash kernel has no VJP yet) + gradient checkpointing
+        # training uses chunked attention + gradient checkpointing: memory-
+        # bounded, differentiable, and faster than the Pallas flash kernel
+        # at SD's head_dim 40 (ops/attention.py routing ablation). The flash
+        # kernel does have a tested custom VJP (ops/flash_attention.py) and
+        # is picked up automatically via attn_impl='auto' for head_dim>=128
+        # shapes; this model family never hits that regime in training.
         self.unet = self.unet.clone(attn_impl='chunked',
                                     gradient_checkpointing=True)
 
@@ -79,7 +83,11 @@ class VideoSwapTrainer:
         return self.tx.init(adapter_params)
 
     # ------------------------------------------------------------------ step
-    def _build_step(self):
+    def build_loss_fn(self):
+        """loss_fn(adapter_params, frozen, batch, rng) -> scalar loss.
+
+        Exposed so callers (tests, the multichip dryrun) can compare
+        sharded-vs-single-device losses and grads numerically."""
         drop_rate = float(self.tune_cfg.get('drop_rate', 0.0))
         min_t = float(self.tune_cfg.get('min_timestep', 0.0))
         loss_type = self.tune_cfg.get('loss_type', 'global')
@@ -120,6 +128,11 @@ class VideoSwapTrainer:
             m = jnp.broadcast_to(m, se.shape)
             loss = (se * m).sum() / m.sum()
             return loss
+
+        return loss_fn
+
+    def _build_step(self):
+        loss_fn = self.build_loss_fn()
 
         def step(adapter_params, opt_state, frozen, batch, rng):
             loss, grads = jax.value_and_grad(loss_fn)(adapter_params, frozen,
