@@ -129,7 +129,12 @@ class IMLP(nn.Module):
 
 
 def imlp_from_opt(opt: dict) -> IMLP:
-    """Build from the reference YAML model blocks (IMLP_Hash kwargs)."""
+    """Build from the reference YAML model blocks (IMLP_Hash kwargs).
+
+    The hash-grid hyperparameters are hardcoded in the reference
+    (implicit_neural_networks.py:117-130: 16 levels x 2 feats, 2^19 table,
+    base 16, scale 1.38) — those are our defaults — but unlike the
+    reference we also honor YAML overrides for them."""
     return IMLP(
         input_dim=opt['input_dim'],
         output_dim=opt['output_dim'],
@@ -139,4 +144,9 @@ def imlp_from_opt(opt: dict) -> IMLP:
         skip_layers=tuple(opt.get('skip_layers', []) or []),
         mlp_layers=opt.get('mlp_layers', 8),
         use_tanh=opt.get('use_tanh', True),
+        hash_levels=opt.get('n_levels', opt.get('hash_levels', 16)),
+        hash_feats=opt.get('n_features_per_level', opt.get('hash_feats', 2)),
+        log2_hashmap_size=opt.get('log2_hashmap_size', 19),
+        base_resolution=opt.get('base_resolution', 16),
+        per_level_scale=opt.get('per_level_scale', 1.38),
     )

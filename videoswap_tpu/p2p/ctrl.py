@@ -16,9 +16,9 @@ through the forward decides, per site,
 mode flags and the edit/store callables are static aux data, so jit traces
 one specialized program per controller configuration.
 
-Only sites whose query length is <= `max_tokens` are tapped, matching the
-reference's 32**2 threshold (attention_store.py:97) — large sites always run
-the fused/flash path.
+Only sites whose query length is strictly < `max_tokens` are tapped, matching
+the reference's strict 32**2 threshold (attention_store.py:97) — large sites
+always run the fused/flash path.
 """
 
 from __future__ import annotations
@@ -56,12 +56,17 @@ class AttnCtrl:
 
     # -- queries used by the attention sites -------------------------------
     def wants_store(self, site: SiteKey, q_tokens: int) -> bool:
-        if self.mode not in ('store', 'store_edit') or q_tokens > self.max_tokens:
+        # strict <, like the reference's `attn.shape[1] <= 32 ** 2` guard on
+        # (h*w) maps (attention_store.py:97): a 32x32 site (1024 q tokens)
+        # is NOT stored
+        if (self.mode not in ('store', 'store_edit')
+                or q_tokens >= self.max_tokens):
             return False
         return self.store_filter is None or self.store_filter(site, q_tokens)
 
     def get_edit_fn(self, site: SiteKey, q_tokens: int):
-        if self.mode not in ('edit', 'store_edit') or q_tokens > self.max_tokens:
+        if (self.mode not in ('edit', 'store_edit')
+                or q_tokens >= self.max_tokens):
             return None
         if self.edit_fn is None:
             return None

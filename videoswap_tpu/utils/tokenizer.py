@@ -37,7 +37,10 @@ class HashTokenizer:
     def convert_tokens_to_ids(self, token: str) -> int:
         if token in self._added:
             return self._added[token]
-        return 2 + (hash(token) % (self.vocab_size - 3))
+        # crc32, not hash(): python salts str hashes per process, which would
+        # make a weightless train->test CLI sequence non-reproducible
+        import zlib
+        return 2 + (zlib.crc32(token.encode('utf-8')) % (self.vocab_size - 3))
 
     def _word_ids(self, text: str) -> list[int]:
         words = re.findall(r'<[^>]+>|\w+|[^\w\s]', text.lower())
