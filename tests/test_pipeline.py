@@ -147,13 +147,16 @@ def test_trainer_step_decreases_nan_free(pipe):
             2, 12).astype(np.float32)),
     }
     losses = []
-    rng = jax.random.PRNGKey(0)
-    for i in range(3):
-        rng, step_rng = jax.random.split(rng)
+    # FIXED rng every step: the same timestep/noise/dropout is re-evaluated,
+    # so successive AdamW updates on the adapter must strictly reduce the
+    # loss on that sample (not just stay finite)
+    step_rng = jax.random.PRNGKey(0)
+    for i in range(4):
         adapter_params, opt_state, loss = trainer.step(
             adapter_params, opt_state, batch, step_rng)
         losses.append(float(loss))
     assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f'loss did not decrease: {losses}'
 
 
 def test_loop_modes_equivalent(pipe, conditions):
