@@ -31,6 +31,20 @@ _SPECIAL_SUBS = {
     'to_out_0': 'to_out.0',
     'mlp_fc1': 'mlp.fc1',
     'mlp_fc2': 'mlp.fc2',
+    # VAE flat module names (models/vae.py) — no digit separates the words,
+    # so the generic `_<d>` rule cannot split them
+    'mid_block_resnets_0': 'mid_block.resnets.0',
+    'mid_block_resnets_1': 'mid_block.resnets.1',
+    'mid_block_attentions_0': 'mid_block.attentions.0',
+}
+
+# deprecated diffusers VAE AttentionBlock keys (pre-0.18 exports, e.g. the
+# chilloutmix dump the reference downloads) -> modern Attention keys
+_VAE_LEGACY_ATTN = {
+    '.query.': '.to_q.',
+    '.key.': '.to_k.',
+    '.value.': '.to_v.',
+    '.proj_attn.': '.to_out.0.',
 }
 
 # names where a trailing _digit is literal in torch, not a list index
@@ -113,6 +127,7 @@ def convert_state_dict(
             out[path] = leaf
     unused = [k for k in torch_sd
               if k not in used and not k.endswith('.pe')
+              and not k.endswith('position_ids')
               and 'num_batches_tracked' not in k]
     if strict and missing:
         raise KeyError(f'{len(missing)} params missing from checkpoint, '
@@ -158,8 +173,26 @@ def convert_unet(torch_sd: dict, flax_params: dict, strict: bool = False):
     return params, missing, unused
 
 
+def _normalize_vae_keys(torch_sd: dict) -> dict:
+    """Rewrite deprecated AttentionBlock keys (query/key/value/proj_attn)
+    to the modern Attention names; modern dicts pass through unchanged."""
+    out = {}
+    for k, v in torch_sd.items():
+        for old, new in _VAE_LEGACY_ATTN.items():
+            if old in k and 'attentions' in k:
+                k = k.replace(old, new)
+                break
+        out[k] = v
+    return out
+
+
+def convert_vae_diag(torch_sd: dict, flax_params: dict):
+    return convert_state_dict(_normalize_vae_keys(torch_sd), flax_params,
+                              strict=True)
+
+
 def convert_vae(torch_sd: dict, flax_params: dict):
-    return convert_state_dict(torch_sd, flax_params, strict=True)[0]
+    return convert_vae_diag(torch_sd, flax_params)[0]
 
 
 def convert_text_encoder(torch_sd: dict, flax_params: dict):
