@@ -31,7 +31,9 @@ def outs():
         jnp.ones((1, 2, 32 // (2 ** i), 32 // (2 ** i), ch[i])) * 0.1
         for i in range(4)
     ]
-    ctrl = AttnCtrl(mode='store',
+    # max_tokens raised: at this 32x32 latent the level-0 sites sit exactly
+    # ON the strict 32^2 production threshold; this test wants ALL 16 sites
+    ctrl = AttnCtrl(mode='store', max_tokens=4096,
                     store_filter=lambda site, q: site.kind == 'cross')
 
     @jax.jit
