@@ -143,15 +143,15 @@ def test_flash_attention_vjp_matches_reference(rng):
                                    err_msg=f'grad {name}')
 
 
-def test_vpu_small_attention_matches(rng):
-    from videoswap_tpu.ops.attention import (_split_heads,
-                                             _vpu_small_attention,
-                                             _xla_attention)
+def test_small_seq_attention_matches(rng):
+    from videoswap_tpu.ops.attention import (_small_seq_attention,
+                                             _split_heads, _xla_attention)
     k1, k2, k3 = jax.random.split(rng, 3)
     q = jax.random.normal(k1, (4, 16, 32))
     k = jax.random.normal(k2, (4, 16, 32))
     v = jax.random.normal(k3, (4, 16, 32))
     qh, kh, vh = (_split_heads(t, 4) for t in (q, k, v))
+    from videoswap_tpu.ops.attention import _merge_heads
     np.testing.assert_allclose(
-        np.asarray(_vpu_small_attention(qh, kh, vh)),
-        np.asarray(_xla_attention(qh, kh, vh)), atol=2e-5)
+        np.asarray(_small_seq_attention(q, k, v, 4)),
+        np.asarray(_merge_heads(_xla_attention(qh, kh, vh))), atol=2e-5)

@@ -1,0 +1,99 @@
+"""The fused temporal-transformer kernel == the layer-wise flax module.
+
+Same param tree, identical math: the layer-wise module (the CPU/init path)
+is the ground truth; the kernel's XLA reference and the Pallas kernel in
+interpret mode must match it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoswap_tpu.models.motion_module import VanillaTemporalModule
+from videoswap_tpu.ops.fused_temporal import (_forward, _pe_rows,
+                                              _xla_reference,
+                                              flatten_tt_params)
+
+
+def _per_frame_gn(x, tt_params, groups):
+    """Reference per-frame GroupNorm using the module's norm params."""
+    import flax.linen as nn
+    b, f, hh, ww, c = x.shape
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-6)
+    p = {'params': {'scale': tt_params['norm']['scale'],
+                    'bias': tt_params['norm']['bias']}}
+    return gn.apply(p, x.reshape(b * f, hh, ww, c)).reshape(x.shape)
+
+
+@pytest.mark.parametrize('f,c,heads,groups', [
+    (4, 32, 4, 8),
+    (2, 32, 4, 8),
+    (8, 64, 8, 8),
+])
+def test_fused_temporal_matches_module(f, c, heads, groups):
+    b, hw = 2, 4
+    mm = VanillaTemporalModule(heads=heads, num_transformer_block=1,
+                               max_len=24, norm_groups=groups)
+    rs = np.random.RandomState(f + c)
+    x = jnp.asarray(rs.randn(b, f, hw, hw, c).astype(np.float32) * 0.5)
+    params = mm.init(jax.random.PRNGKey(0), x)
+    # perturb proj_out away from its zero init so the body is exercised
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.float32(1.0), params)
+    ref = mm.apply(params, x)          # layer-wise path (CPU)
+
+    tt = params['params']['temporal_transformer']
+    flat = flatten_tt_params(tt, 1)
+    rpt = max(1, 128 // f) * f
+    pe_rows = jnp.asarray(_pe_rows(f, c, rpt, 24), jnp.float32)
+    x2 = x.transpose(0, 2, 3, 1, 4).reshape(b * hw * hw * f, c)
+    g2 = _per_frame_gn(x, tt, groups).transpose(0, 2, 3, 1, 4).reshape(
+        b * hw * hw * f, c)
+
+    out_ref = _xla_reference(g2, x2, pe_rows, flat, heads, f, 1)
+    out_ref = out_ref.reshape(b, hw, hw, f, c).transpose(0, 3, 1, 2, 4)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    out_k = _forward(g2, x2, pe_rows, flat, heads=heads, f=f, n_blocks=1,
+                     interpret=True)
+    out_k = out_k.reshape(b, hw, hw, f, c).transpose(0, 3, 1, 2, 4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_temporal_grads_flow():
+    """Custom VJP produces grads matching the layer-wise module's."""
+    f, c, heads, groups = 4, 32, 4, 8
+    b, hw = 1, 4
+    mm = VanillaTemporalModule(heads=heads, num_transformer_block=1,
+                               norm_groups=groups)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(b, f, hw, hw, c).astype(np.float32) * 0.5)
+    params = mm.init(jax.random.PRNGKey(0), x)
+
+    from videoswap_tpu.ops.fused_temporal import fused_temporal_transformer
+    tt = params['params']['temporal_transformer']
+    rpt = max(1, 128 // f) * f
+    pe_rows = jnp.asarray(_pe_rows(f, c, rpt, 24), jnp.float32)
+    x2 = x.transpose(0, 2, 3, 1, 4).reshape(-1, c)
+
+    def loss_fused(tt_params):
+        flat = flatten_tt_params(tt_params, 1)
+        g2 = _per_frame_gn(x, tt_params, groups).transpose(
+            0, 2, 3, 1, 4).reshape(-1, c)
+        return (fused_temporal_transformer(
+            g2, x2, pe_rows, flat, heads, f, 1) ** 2).sum()
+
+    def loss_module(params):
+        return (mm.apply(params, x) ** 2).sum()
+
+    g_f = jax.grad(loss_fused)(tt)
+    g_m = jax.grad(loss_module)(params)['params']['temporal_transformer']
+    for path, a in jax.tree_util.tree_leaves_with_path(g_f):
+        b_ = g_m
+        for k in path:
+            b_ = b_[k.key]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=1e-4,
+            err_msg=f'grad mismatch at {jax.tree_util.keystr(path)}')

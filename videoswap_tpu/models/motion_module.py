@@ -71,10 +71,42 @@ class TemporalTransformer3DModel(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, F, H, W, C)
         b, f, hh, ww, c = x.shape
+
+        # Fully-fused Pallas path (ops/fused_temporal.py): one kernel for
+        # GN -> proj_in -> blocks -> proj_out (+residual); one HBM round
+        # trip. Weights must fit VMEM (~4.6 MB at C=320); wider levels run
+        # the layer-wise path whose attention/FFN are themselves fused
+        # kernels. Params are declared by the layer-wise branch at init and
+        # read back via self.variables here (same tree, full autodiff).
+        import jax as _jax
+        use_fused = (_jax.default_backend() == 'tpu' and c <= 320
+                     and f <= 128 and not self.is_initializing())
+        # per-FRAME GroupNorm stats: the reference normalizes the
+        # '(b f) c h w' layout (motion_module.py:112, after the rearrange
+        # at :286), so statistics must NOT mix frames
+        gn = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6,
+                          dtype=self.dtype, name='norm')(
+            x.reshape(b * f, hh, ww, c)).reshape(x.shape)
+
+        if use_fused:
+            from videoswap_tpu.ops.fused_temporal import (
+                _pe_rows, flatten_tt_params, fused_temporal_transformer)
+            params = self.variables['params']
+            flat = [jnp.asarray(p, self.dtype) if p.ndim == 2
+                    else jnp.asarray(p, jnp.float32)
+                    for p in flatten_tt_params(params, self.num_layers)]
+            rpt = max(1, 128 // f) * f
+            pe_rows = jnp.asarray(_pe_rows(f, c, rpt, self.max_len),
+                                  self.dtype)
+            x2 = x.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww * f, c)
+            g2 = gn.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww * f, c)
+            out = fused_temporal_transformer(
+                g2.astype(self.dtype), x2.astype(self.dtype), pe_rows,
+                flat, self.heads, f, self.num_layers)
+            return out.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+
         residual = x
-        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
-                         name='norm')(x)
-        h = nn.Dense(c, dtype=self.dtype, name='proj_in')(h)
+        h = nn.Dense(c, dtype=self.dtype, name='proj_in')(gn)
         # (B, F, H, W, C) -> (B*H*W, F, C): frame-axis sequence per location
         h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
         for i in range(self.num_layers):

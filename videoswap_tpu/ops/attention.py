@@ -66,17 +66,18 @@ def _chunked_attention(qh, kh, vh, chunk: int = 512):
     return out.transpose(1, 0, 2, 3, 4).reshape(b, sq, h, d)
 
 
-def _vpu_small_attention(qh, kh, vh):
-    """Tiny-sequence attention (the temporal/motion F<=24 axis) as
-    broadcast-multiply-reduce fusions: per-location 16x16 matmuls waste
-    >90%% of an MXU pass, while the VPU reduce-fusion runs ~1.6x faster at
-    level-0 shapes (measured on v5e: 8.1 vs 13.0 ms for
-    L=8192,F=16,h=8,d=40)."""
-    d = qh.shape[-1]
-    s = (qh[:, :, None].astype(jnp.float32)
-         * kh[:, None, :, :].astype(jnp.float32)).sum(-1) * d ** -0.5
-    p = jax.nn.softmax(s, axis=2)                        # (B, Sq, Sk, h)
-    return (p[..., None].astype(vh.dtype) * vh[:, None]).sum(2)
+def _small_seq_attention(q, k, v, heads: int):
+    """Tiny-sequence self-attention (the temporal/motion F<=24 axis):
+    the fused Pallas kernel (ops/temporal_attention.py) — measured 0.66 ms
+    vs 5.0 ms for the best XLA formulation at L=8192, F=16, C=320 on v5e
+    (per-location matmuls waste the MXU; a (L,F,F,heads) logit tensor puts
+    heads in the lanes and wastes the VPU). Falls back to equivalent XLA
+    math off-TPU (inside the kernel wrapper). q/k/v: (L, F, C) unsplit."""
+    from .temporal_attention import temporal_attention
+    el, f, c = q.shape
+    out = temporal_attention(q.reshape(el * f, c), k.reshape(el * f, c),
+                             v.reshape(el * f, c), heads, f)
+    return out.reshape(el, f, c)
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -85,25 +86,25 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Fused multi-head attention. q: [B,Sq,D], k/v: [B,Sk,D] -> [B,Sq,D].
 
     impl routing (measured on v5e at SD-1.5 shapes, see CLAUDE.md):
-    - 'auto': tiny sequences (<=32, the temporal axis) -> VPU
-      broadcast-reduce; everything else -> XLA einsum+softmax (which is
-      probs-bandwidth-bound but still beats the d-padded flash kernel at
-      head_dim 40);
+    - 'auto': tiny sequences (<=32, the temporal axis) -> fused Pallas
+      temporal-attention kernel (0.66 ms vs 5.0 ms XLA at level-0);
+      everything else -> XLA einsum+softmax (which is probs-bandwidth-
+      bound but still beats the d-padded flash kernel at head_dim 40);
     - 'flash': the Pallas flash kernel (use for memory-bound cases /
       head_dim >= 128; differentiable via custom VJP);
     - 'chunked': scan over query blocks (training at high resolution);
     - 'xla': plain einsum+softmax.
     """
+    sq, sk = q.shape[1], k.shape[1]
+    if sq == sk and sq <= 32 and use_flash is not True and impl != 'flash':
+        return _small_seq_attention(q, k, v, heads)
     qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
-    sq, sk = qh.shape[1], kh.shape[1]
     big = sq >= 2048 and sk >= 2048
     if impl == 'flash' or use_flash is True:
         from .flash_attention import flash_attention
         out = flash_attention(qh, kh, vh)
     elif impl == 'chunked' and big:
         out = _chunked_attention(qh, kh, vh)
-    elif sq == sk and sq <= 32:
-        out = _vpu_small_attention(qh, kh, vh)
     else:
         out = _xla_attention(qh, kh, vh)
     return _merge_heads(out)

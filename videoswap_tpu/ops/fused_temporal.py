@@ -1,0 +1,285 @@
+"""Fully-fused AnimateDiff temporal transformer — one Pallas TPU kernel.
+
+Covers everything TemporalTransformer3DModel does between its frame/space
+transposes except the per-frame GroupNorm (whose (H,W) statistics span
+locations, so it stays a cheap XLA op): proj_in -> N x
+TemporalTransformerBlock (2 x [LayerNorm -> +sinusoidal PE -> frame-axis
+attention -> out-proj -> residual] + [ff_norm -> GEGLU FFN -> residual])
+-> zero-init proj_out -> outer residual. All weights (~4.4 MB bf16 at
+C=320) stay VMEM-resident; activations make one HBM round trip instead
+of ~14.
+
+Techniques (each measured on v5e, see CLAUDE.md):
+- rows are (location, frame) pairs; each 128-row tile holds P=128//F whole
+  locations, so the F<=24 frame attention becomes dense [128,d]x[d,128]
+  MXU dots with a block-diagonal -inf bias (7.5x over the best XLA
+  formulation stand-alone);
+- ALL logit tiles share one scratch and a single fused scale+bias+exp pass
+  (per-op VPU overhead dominates 128x128-grain elementwise work);
+- row reductions (softmax denominators, LayerNorm/GroupNorm moments) run
+  as MXU dots against ones/group-indicator matrices — no lane-reduction
+  shuffles; softmax normalizes AFTER the value contraction;
+- max-free softmax (logits clipped at 60; inputs are LayerNorm-bounded,
+  exp in fp32); GELU uses the Abramowitz-Stegun erf polynomial (no erf
+  primitive; |err| <= 1.5e-7).
+
+Backward: custom VJP that recomputes the block in plain XLA (the training
+path is remat-bound elsewhere; parity guaranteed by the shared reference
+implementation used for CPU fallback and tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .geglu_ffn import gelu_exact
+
+NEG_INF = -1e30
+CLIP = 60.0
+
+
+# --------------------------------------------------------------- params
+def flatten_tt_params(p: dict, n_blocks: int) -> list:
+    """TemporalTransformer3DModel param dict -> flat arg list (fixed order,
+    GroupNorm excluded — it runs outside the kernel).
+    Layout mirrors models/motion_module.py naming."""
+    out = [p['proj_in']['kernel'], p['proj_in']['bias']]
+    for i in range(n_blocks):
+        b = p[f'transformer_blocks_{i}']
+        for j in (0, 1):
+            a = b[f'attention_blocks_{j}']
+            out += [b[f'norms_{j}']['scale'], b[f'norms_{j}']['bias'],
+                    a['to_q']['kernel'], a['to_k']['kernel'],
+                    a['to_v']['kernel'],
+                    a['to_out_0']['kernel'], a['to_out_0']['bias']]
+        out += [b['ff_norm']['scale'], b['ff_norm']['bias'],
+                b['ff']['net_0_proj']['kernel'],
+                b['ff']['net_0_proj']['bias'],
+                b['ff']['net_2']['kernel'], b['ff']['net_2']['bias']]
+    out += [p['proj_out']['kernel'], p['proj_out']['bias']]
+    return out
+
+
+N_HEAD_PARAMS = 2          # proj_in kernel/bias
+N_BLOCK_PARAMS = 2 * 7 + 6
+N_TAIL_PARAMS = 2
+
+
+# --------------------------------------------------------------- kernel
+def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
+            n_blocks: int, scale: float, rpt: int):
+    refs = list(args[:-2])
+    o_ref, s_scr = args[-2], args[-1]
+    c = x_ref.shape[-1]
+    d = c // heads
+    rows = x_ref.shape[0]
+    n_tiles = rows // rpt
+
+    def take(n):
+        vals = refs[:n]
+        del refs[:n]
+        return vals
+
+    ones_c = jnp.ones((c, 1), jnp.float32)
+    ones_r = jnp.ones((rpt, 1), jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rpt, rpt), 0) // f
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rpt, rpt), 1) // f
+    bias = jnp.where(ri == ci, 0.0, NEG_INF).astype(jnp.float32)
+    big_bias = jnp.concatenate([bias] * (n_tiles * heads), axis=-1)
+
+    def rowsum(x):                       # (rows, c) -> (rows, 1) via MXU
+        return jax.lax.dot_general(x, ones_c, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def layernorm(h, g, b, eps=1e-6):
+        h32 = h.astype(jnp.float32)
+        mean = rowsum(h32) * (1.0 / c)
+        zc = h32 - mean
+        var = rowsum(zc * zc) * (1.0 / c)
+        return (zc * jax.lax.rsqrt(var + eps)) * g + b
+
+    def dot(a, w):
+        return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32)
+
+    win, bin_ = take(2)
+    h = dot(g_ref[:], win[:]) + bin_[:]                  # proj_in (fp32)
+    pe = jnp.concatenate([pe_ref[:]] * n_tiles, axis=0).astype(jnp.float32)
+
+    for _ in range(n_blocks):
+        for _j in (0, 1):
+            ln_g, ln_b, wq, wk, wv, wo, bo = take(7)
+            a_in = (layernorm(h, ln_g[:], ln_b[:]) + pe).astype(x.dtype)
+            q = dot(a_in, wq[:]).astype(x.dtype)
+            k = dot(a_in, wk[:]).astype(x.dtype)
+            v = dot(a_in, wv[:]).astype(x.dtype)
+            kT = jnp.swapaxes(k, 0, 1)
+            for t in range(n_tiles):
+                sl = slice(t * rpt, (t + 1) * rpt)
+                for hh in range(heads):
+                    lane = slice(hh * d, (hh + 1) * d)
+                    col = (t * heads + hh) * rpt
+                    s_scr[:, col:col + rpt] = jax.lax.dot_general(
+                        q[sl, lane], kT[lane, sl], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            s_scr[:] = jnp.exp(jnp.minimum(s_scr[:] * scale + big_bias,
+                                           CLIP))
+            attn_rows = []
+            for t in range(n_tiles):
+                sl = slice(t * rpt, (t + 1) * rpt)
+                outs = []
+                for hh in range(heads):
+                    lane = slice(hh * d, (hh + 1) * d)
+                    col = (t * heads + hh) * rpt
+                    e = s_scr[:, col:col + rpt]
+                    eb = e.astype(x.dtype)
+                    denom = jax.lax.dot_general(
+                        e, ones_r, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    pv = jax.lax.dot_general(
+                        eb, v[sl, lane], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    outs.append(pv * (1.0 / denom))
+                attn_rows.append(jnp.concatenate(outs, axis=-1))
+            attn = jnp.concatenate(attn_rows, axis=0).astype(x.dtype)
+            h = h + dot(attn, wo[:]) + bo[:]
+
+        fn_g, fn_b, w1, b1, w2, b2 = take(6)
+        ln = layernorm(h, fn_g[:], fn_b[:]).astype(x.dtype)
+        hh_ = dot(ln, w1[:]) + b1[:]
+        mid = hh_.shape[-1] // 2
+        g = hh_[:, :mid] * gelu_exact(hh_[:, mid:])
+        h = h + dot(g.astype(x.dtype), w2[:]) + b2[:]
+
+    wout, bout = take(2)
+    out = dot(h.astype(x.dtype), wout[:]) + bout[:]
+    o_ref[:] = (x32 + out).astype(o_ref.dtype)
+
+
+# --------------------------------------------------------- host wrapper
+def _pe_rows(f: int, c: int, rpt: int, max_len: int) -> np.ndarray:
+    from videoswap_tpu.models.motion_module import sinusoidal_position_table
+    pe = sinusoidal_position_table(max_len, c)[:f]       # (f, c)
+    return np.tile(pe, (rpt // f, 1))                    # rows (loc, frame)
+
+
+def _forward(g2, x2, pe_rows, flat_params, *, heads, f, n_blocks,
+             interpret=False):
+    n, c = x2.shape
+    d = c // heads
+    rpt = max(1, 128 // f) * f
+    itemsize = x2.dtype.itemsize
+    budget = (3 << 20) // (8 * c * itemsize)
+    block_rows = min(256, max(rpt, budget // rpt * rpt))
+    npad = (n + block_rows - 1) // block_rows * block_rows
+    if npad != n:
+        g2 = jnp.pad(g2, ((0, npad - n), (0, 0)))
+        x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
+    n_tiles = block_rows // rpt
+
+    w_specs = [pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd)
+               for p in flat_params]
+    out = pl.pallas_call(
+        functools.partial(_kernel, heads=heads, f=f, n_blocks=n_blocks,
+                          scale=d ** -0.5, rpt=rpt),
+        grid=(npad // block_rows,),
+        in_specs=[pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+                  pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+                  pl.BlockSpec(pe_rows.shape, lambda i: (0, 0))] + w_specs,
+        out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, c), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((rpt, n_tiles * heads * rpt),
+                                   jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',)),
+        interpret=interpret,
+    )(g2, x2, pe_rows, *flat_params)
+    return out[:n]
+
+
+def _xla_reference(g2, x2, pe_rows, flat_params, heads, f, n_blocks):
+    """Same math in plain XLA (CPU fallback, VJP, parity tests)."""
+    n, c = x2.shape
+    d = c // heads
+    ps = list(flat_params)
+
+    def take(k):
+        vals = ps[:k]
+        del ps[:k]
+        return vals
+
+    def ln(h, g, b, eps=1e-6):
+        h32 = h.astype(jnp.float32)
+        mu = h32.mean(-1, keepdims=True)
+        var = ((h32 - mu) ** 2).mean(-1, keepdims=True)
+        return (h32 - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+    x32 = x2.astype(jnp.float32)
+    win, bin_ = take(2)
+    h = g2 @ win + bin_
+    pe = jnp.tile(pe_rows[:f].astype(jnp.float32), (n // f, 1))
+
+    for _ in range(n_blocks):
+        for _j in (0, 1):
+            ln_g, ln_b, wq, wk, wv, wo, bo = take(7)
+            a_in = (ln(h, ln_g, ln_b) + pe).astype(x2.dtype)
+            q = (a_in @ wq).reshape(n // f, f, heads, d)
+            k = (a_in @ wk).reshape(n // f, f, heads, d)
+            v = (a_in @ wv).reshape(n // f, f, heads, d)
+            s = jnp.einsum('lfhd,lghd->lfgh', q.astype(jnp.float32),
+                           k.astype(jnp.float32)) * d ** -0.5
+            p = jax.nn.softmax(s, axis=2)
+            o = jnp.einsum('lfgh,lghd->lfhd', p.astype(x2.dtype),
+                           v).reshape(n, c)
+            h = h + o @ wo + bo
+        fn_g, fn_b, w1, b1, w2, b2 = take(6)
+        l_ = ln(h, fn_g, fn_b).astype(x2.dtype)
+        hh_ = l_ @ w1 + b1
+        a, gate = jnp.split(hh_, 2, axis=-1)
+        g = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False)
+        h = h + g.astype(x2.dtype) @ w2 + b2
+
+    wout, bout = take(2)
+    return (x32 + (h.astype(x2.dtype) @ wout + bout)).astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_temporal_transformer(g2, x2, pe_rows, flat_params, heads: int,
+                               f: int, n_blocks: int):
+    """g2: per-frame-GroupNormed input; x2: residual input — both
+    (L*F, C), rows ordered (location, frame). proj_in -> blocks ->
+    proj_out, + x2 residual."""
+    if jax.default_backend() != 'tpu':
+        return _xla_reference(g2, x2, pe_rows, flat_params, heads, f,
+                              n_blocks)
+    return _forward(g2, x2, jnp.asarray(pe_rows, x2.dtype),
+                    list(flat_params), heads=heads, f=f, n_blocks=n_blocks)
+
+
+def _fwd(g2, x2, pe_rows, flat_params, heads, f, n_blocks):
+    out = fused_temporal_transformer(g2, x2, pe_rows, flat_params, heads,
+                                     f, n_blocks)
+    return out, (g2, x2, pe_rows, flat_params)
+
+
+def _bwd(heads, f, n_blocks, res, g):
+    g2, x2, pe_rows, flat_params = res
+    _, vjp = jax.vjp(
+        lambda g2, x2, fp: _xla_reference(g2, x2, pe_rows, fp, heads, f,
+                                          n_blocks),
+        g2, x2, tuple(flat_params))
+    dg, dx, dfp = vjp(g)
+    return dg, dx, None, list(dfp)
+
+
+fused_temporal_transformer.defvjp(_fwd, _bwd)

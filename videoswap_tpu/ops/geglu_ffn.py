@@ -1,0 +1,111 @@
+"""Fused GEGLU feed-forward — Pallas TPU kernel.
+
+XLA cannot fuse across two matmuls, so the transformer FFN's 4x-wide GEGLU
+intermediate makes a full HBM round trip (671 MB per call at SD level-0 —
+measured 4.5 ms/call where the matmul FLOPs cost 1.8 ms). This kernel keeps
+the intermediate in VMEM: weights stay resident (c=320: 2.4 MB, c=640:
+9.8 MB), row blocks stream through. Measured on v5e: 3.6 -> 3.2 ms at
+(131072, 320) and 2.9 -> 1.7 ms at (32768, 640).
+
+Exact (erf) GELU matches the reference diffusers FeedForward
+(activation 'geglu', F.gelu default); Pallas TPU has no erf primitive so
+the Abramowitz-Stegun 7.1.26 polynomial is used (|err| <= 1.5e-7, far
+below bf16 resolution).
+
+Backward: custom VJP in plain XLA (recompute h) for the training path.
+Used only where the weights fit VMEM (c <= 640); larger widths run tiny
+row counts in this model family and stay on XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_KERNEL_WIDTH = 640
+
+
+def _erf(x):
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[:]
+    h = jax.lax.dot_general(
+        x, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[:]
+    mid = h.shape[-1] // 2
+    g = h[:, :mid] * gelu_exact(h[:, mid:])
+    o = jax.lax.dot_general(
+        g.astype(x.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[:]
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _xla_reference(x2, w1, b1, w2, b2):
+    h = (x2 @ w1 + b1)
+    a, gate = jnp.split(h, 2, axis=-1)
+    return (a * jax.nn.gelu(gate, approximate=False)) @ w2 + b2
+
+
+def _forward(x2, w1, b1, w2, b2, interpret: bool = False):
+    n, c = x2.shape
+    block = 512 if c <= 320 else 128
+    npad = (n + block - 1) // block * block
+    if npad != n:
+        x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
+    out = pl.pallas_call(
+        _kernel,
+        interpret=interpret,
+        grid=(npad // block,),
+        in_specs=[
+            pl.BlockSpec((block, c), lambda i: (i, 0)),
+            pl.BlockSpec(w1.shape, lambda i: (0, 0)),
+            pl.BlockSpec(b1.shape, lambda i: (0,)),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0)),
+            pl.BlockSpec(b2.shape, lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((block, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, c), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+    )(x2, w1, b1, w2, b2)
+    return out[:n]
+
+
+@jax.custom_vjp
+def geglu_ffn(x2, w1, b1, w2, b2):
+    """x2: (N, C); w1: (C, 8C) GEGLU projection; w2: (4C, C)."""
+    if jax.default_backend() != 'tpu' or x2.shape[-1] > MAX_KERNEL_WIDTH:
+        return _xla_reference(x2, w1, b1, w2, b2)
+    return _forward(x2, w1, b1, w2, b2)
+
+
+def _fwd(x2, w1, b1, w2, b2):
+    return geglu_ffn(x2, w1, b1, w2, b2), (x2, w1, b1, w2, b2)
+
+
+def _bwd(res, g):
+    x2, w1, b1, w2, b2 = res
+
+    def f(x2, w1, b1, w2, b2):
+        return _xla_reference(x2, w1, b1, w2, b2)
+
+    _, vjp = jax.vjp(f, x2, w1, b1, w2, b2)
+    return vjp(g)
+
+
+geglu_ffn.defvjp(_fwd, _bwd)
