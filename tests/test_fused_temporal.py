@@ -97,3 +97,32 @@ def test_fused_temporal_grads_flow():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=1e-4,
             err_msg=f'grad mismatch at {jax.tree_util.keystr(path)}')
+
+
+def test_attn_only_plus_ffn_tail_matches_full():
+    """include_ffn=False kernel + ffn_tail == the full fused reference
+    (the C=640 routing where FFN weights don't fit VMEM)."""
+    from videoswap_tpu.ops.fused_temporal import ffn_tail
+    f, c, heads, groups = 4, 32, 4, 8
+    b, hw = 2, 4
+    mm = VanillaTemporalModule(heads=heads, num_transformer_block=1,
+                               norm_groups=groups)
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(b, f, hw, hw, c).astype(np.float32) * 0.5)
+    params = jax.tree.map(lambda p: p + np.float32(0.01),
+                          mm.init(jax.random.PRNGKey(0), x))
+    ref = mm.apply(params, x)
+
+    tt = params['params']['temporal_transformer']
+    rpt = max(1, 128 // f) * f
+    pe_rows = jnp.asarray(_pe_rows(f, c, rpt, 24), jnp.float32)
+    x2 = x.transpose(0, 2, 3, 1, 4).reshape(-1, c)
+    g2 = _per_frame_gn(x, tt, groups).transpose(0, 2, 3, 1, 4).reshape(-1, c)
+
+    flat = flatten_tt_params(tt, 1, include_ffn=False)
+    h2 = _forward(g2, x2, pe_rows, flat, heads=heads, f=f, n_blocks=1,
+                  include_ffn=False, interpret=True)
+    out = ffn_tail(h2, x2, tt, jnp.float32)
+    out = out.reshape(b, hw, hw, f, c).transpose(0, 3, 1, 2, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -78,3 +78,31 @@ def test_blend_validation_flow(pipe, tmp_path):
     a = np.asarray(results['swap_defaults'][0], np.float32)
     b = np.asarray(res_nb['swap'][0], np.float32)
     assert np.abs(a - b).max() > 0
+
+
+def test_recompute_self_stores_matches_stored(pipe):
+    """The recompute path (base self maps regenerated per edit step from
+    the stored pre-step inversion latents) must reproduce the stored-maps
+    path exactly — same params, same inputs, same math."""
+    video = np.random.RandomState(2).rand(1, F, H, W, 3).astype(
+        np.float32) * 2 - 1
+    base_cfg = {
+        'use_invertion_latents': True,
+        'use_blend': True,
+        'num_inference_steps': 3,
+        'guidance_scale': 7.5,
+        'editing_prompts': {
+            'swap': {'replace': 'cat -> fluffy dog',
+                     'blend_cfg': {'cross_replace_steps': 0.4,
+                                   'self_replace_steps': 0.7,
+                                   'blend_th': 0.3}},
+        },
+    }
+    stored = pipe.validation(video, None, 'a cat on the floor',
+                             dict(base_cfg, recompute_self_stores=False))
+    recomputed = pipe.validation(video, None, 'a cat on the floor',
+                                 dict(base_cfg, recompute_self_stores=True))
+    a = np.asarray(stored['swap'][0], np.float32)
+    b = np.asarray(recomputed['swap'][0], np.float32)
+    # uint8 frames: allow 1-level rounding jitter
+    assert np.abs(a - b).max() <= 1.0, f'max diff {np.abs(a - b).max()}'

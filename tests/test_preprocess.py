@@ -102,3 +102,39 @@ def test_dift_tracker_follows_blob(tiny_featurizer):
     tracks = tracker.track(frames, 0, np.asarray([[16.0, 32.0]]), 'blob')
     assert tracks.shape == (3, 1, 2)
     assert (tracks >= 0).all() and (tracks < 64).all()
+
+
+class _PatchFeaturizer:
+    """Deterministic stand-in featurizer: 5x5 patch descriptors of the
+    frame itself. Isolates the TRACKER math (cosine argmax + locality
+    prior + backward tracking) from the SD feature extractor."""
+
+    def forward(self, image: np.ndarray, prompt: str) -> np.ndarray:
+        g = image.mean(-1)
+        h, w = g.shape
+        pad = np.pad(g, 2, mode='edge')
+        feats = np.stack([pad[dy:dy + h, dx:dx + w]
+                          for dy in range(5) for dx in range(5)], axis=-1)
+        return feats.astype(np.float32)
+
+
+def test_dift_tracker_recovers_known_translation():
+    """Synthetic-motion video: a textured image translated by a known
+    (dx, dy) per frame; the tracker must recover every point within 1.5 px
+    — including frames BEFORE the keyframe (backward tracking,
+    reference extract_semantic_point.py:104-108)."""
+    from videoswap_tpu.preprocess.tracker import DIFTTracker
+    rs = np.random.RandomState(0)
+    base = rs.rand(64, 80, 3).astype(np.float32)
+    shifts = [(-4, -2), (-2, -1), (0, 0), (3, 1), (6, 2)]   # keyframe idx 2
+    frames = [np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+              for dx, dy in shifts]
+
+    points = np.asarray([[30.0, 25.0], [50.0, 40.0], [20.0, 45.0]])
+    tracker = DIFTTracker(_PatchFeaturizer(), locality_sigma=0.15)
+    tracks = tracker.track(frames, 2, points, 'texture')
+
+    for fi, (dx, dy) in enumerate(shifts):
+        expected = points + np.asarray([dx, dy])
+        err = np.abs(tracks[fi] - expected).max()
+        assert err <= 1.5, f'frame {fi}: max err {err}, got {tracks[fi]}'

@@ -30,6 +30,13 @@ from videoswap_tpu.utils.vis_util import save_video_to_dir
 
 
 def train(root_path: str, args) -> None:
+    # multi-host: init the process group BEFORE any backend use (the
+    # reference's Accelerator(...) DDP init, train.py:29-31); single
+    # process is a no-op
+    from videoswap_tpu.parallel.dist import (is_main_process,
+                                             maybe_initialize_distributed)
+    maybe_initialize_distributed(getattr(args, 'distributed', False))
+
     opt = load_config(args.opt)
     set_path_logger(root_path, args.opt, opt, is_train=True)
     logger = get_logger()
@@ -88,6 +95,8 @@ def train(root_path: str, args) -> None:
 
     logger_msg = MessageLogger(opt, global_step)
     rng = jax.random.PRNGKey(seed)
+    from videoswap_tpu.utils.profiling import StepTimer
+    timer = StepTimer(sync=True)
     print_freq = int(opt['logger'].get('print_freq', 10))
     save_freq = int(float(opt['logger'].get('save_checkpoint_freq', 10000)))
     val_freq = int(opt.get('val', {}).get('val_freq', 10 ** 9))
@@ -96,13 +105,16 @@ def train(root_path: str, args) -> None:
     while global_step < total_iter:
         next(yielder)  # parity: epoch cycling (single cached video)
         rng, step_rng = jax.random.split(rng)
+        timer.start()
         adapter_params, opt_state, loss = trainer.step(
             adapter_params, opt_state, batch, step_rng)
+        timer.stop(loss)
         global_step += 1
 
         if global_step % print_freq == 0:
             logger_msg({'iter': global_step, 'lrs': [lr],
-                        'total_loss': jax.device_get(loss)})
+                        'total_loss': jax.device_get(loss),
+                        'step_time': timer.times[-1]})
 
         if global_step % val_freq == 0 and 'val' in opt:
             run_validation(opt, models, dataset, adapter_params,
@@ -117,6 +129,12 @@ def train(root_path: str, args) -> None:
                              global_step)
             logger.info(f'saved checkpoint at step {global_step}')
 
+    s = timer.summary()
+    if s:
+        logger.info(
+            f'step time: mean {s["mean_s"]:.3f}s  p50 {s["p50_s"]:.3f}s  '
+            f'p90 {s["p90_s"]:.3f}s over {s["steps"]} steps '
+            f'(total {s["total_s"]:.1f}s)')
     logger.info('training done')
 
 
@@ -140,9 +158,11 @@ def run_validation(opt, models, dataset, adapter_params, global_step,
     save_dir = os.path.join(opt['path']['visualization'],
                             f'iter_{global_step}')
     save_type = opt['val'].get('save_type', 'frame_gif')
-    for key, frames in results.items():
-        save_video_to_dir(frames, os.path.join(save_dir, key),
-                          save_suffix=key, save_type=save_type)
+    from videoswap_tpu.parallel.dist import is_main_process
+    if is_main_process():                 # IO once (reference train.py:210)
+        for key, frames in results.items():
+            save_video_to_dir(frames, os.path.join(save_dir, key),
+                              save_suffix=key, save_type=save_type)
     logger.info(f'validation saved to {save_dir}')
 
 
@@ -152,5 +172,9 @@ if __name__ == '__main__':
                         help='Path to option YAML file.')
     parser.add_argument('--resume', action='store_true',
                         help='resume from the latest train_state.pkl')
+    parser.add_argument('--distributed', action='store_true',
+                        help='multi-host: jax.distributed.initialize() '
+                             '(or set JAX_COORDINATOR_ADDRESS / '
+                             'NUM_PROCESSES / PROCESS_ID env vars)')
     args = parser.parse_args()
     train(os.path.abspath('.'), args)

@@ -202,9 +202,12 @@ def build_models(opt: dict, root_path: str, dtype=jnp.float32,
 
 # --------------------------------------------------------------- checkpoints
 def save_adapter_checkpoint(path: str, adapter_params) -> None:
-    """Adapter state as .msgpack (flax serialization), plus a torch-layout
-    .pth mirror so reference-format consumers keep working."""
+    """Adapter state as .msgpack (flax serialization). Multi-host: only
+    process 0 writes (the params are global/replicated under GSPMD)."""
     from flax import serialization
+    from videoswap_tpu.parallel.dist import is_main_process
+    if not is_main_process():
+        return
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     with open(path, 'wb') as fh:
         fh.write(serialization.to_bytes(adapter_params))
@@ -225,6 +228,9 @@ def save_train_state(path: str, adapter_params, opt_state,
     NO resume path at all (SURVEY.md §5.3); this is the TPU-native upgrade."""
     from flax import serialization
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    from videoswap_tpu.parallel.dist import is_main_process
+    if not is_main_process():
+        return
     blob = {
         'adapter': serialization.to_bytes(adapter_params),
         'opt_state': serialization.to_bytes(opt_state),

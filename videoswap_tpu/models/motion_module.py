@@ -8,10 +8,11 @@ the FRAME axis per spatial location ('(b f) d c -> (b d) f c',
 motion_module.py:291) with sinusoidal positional encoding (max_len 24),
 then a GEGLU FFN.
 
-TPU note: the frame-axis attention is tiny (F<=24) — it runs on the fused
-path; its cost is dominated by the (B*H*W, F, C) transposes, which XLA
-handles as layout changes. Under frame-sharding this boundary is where the
-all-to-all (Ulysses) collective is inserted (see videoswap_tpu/parallel).
+TPU note: the whole temporal transformer runs as fused Pallas kernels
+(ops/fused_temporal.py at C<=320; attention-blocks kernel + geglu kernel
+at C=640; layer-wise with fused attention/FFN kernels above). Under
+frame-sharding the module boundary is where the all-to-all (Ulysses)
+collective is inserted (see videoswap_tpu/parallel).
 """
 
 from __future__ import annotations
@@ -72,15 +73,18 @@ class TemporalTransformer3DModel(nn.Module):
         # x: (B, F, H, W, C)
         b, f, hh, ww, c = x.shape
 
-        # Fully-fused Pallas path (ops/fused_temporal.py): one kernel for
-        # GN -> proj_in -> blocks -> proj_out (+residual); one HBM round
-        # trip. Weights must fit VMEM (~4.6 MB at C=320); wider levels run
-        # the layer-wise path whose attention/FFN are themselves fused
-        # kernels. Params are declared by the layer-wise branch at init and
-        # read back via self.variables here (same tree, full autodiff).
+        # Fused Pallas path (ops/fused_temporal.py). Full fusion needs
+        # every weight VMEM-resident (~4.4 MB at C=320); at C=640 the FFN
+        # (9.8 MB) is split out (include_ffn=False + ffn_tail); wider
+        # levels run the layer-wise path (whose attention and FFN are
+        # themselves fused kernels). Params are declared by the layer-wise
+        # branch at init and read back via self.variables here (same
+        # tree, full autodiff through the custom VJPs).
         import jax as _jax
-        use_fused = (_jax.default_backend() == 'tpu' and c <= 320
-                     and f <= 128 and not self.is_initializing())
+        include_ffn = c <= 320
+        use_fused = (_jax.default_backend() == 'tpu' and c <= 640
+                     and f <= 128 and self.num_layers == 1
+                     and not self.is_initializing())
         # per-FRAME GroupNorm stats: the reference normalizes the
         # '(b f) c h w' layout (motion_module.py:112, after the rearrange
         # at :286), so statistics must NOT mix frames
@@ -90,11 +94,13 @@ class TemporalTransformer3DModel(nn.Module):
 
         if use_fused:
             from videoswap_tpu.ops.fused_temporal import (
-                _pe_rows, flatten_tt_params, fused_temporal_transformer)
+                _pe_rows, ffn_tail, flatten_tt_params,
+                fused_temporal_transformer)
             params = self.variables['params']
             flat = [jnp.asarray(p, self.dtype) if p.ndim == 2
                     else jnp.asarray(p, jnp.float32)
-                    for p in flatten_tt_params(params, self.num_layers)]
+                    for p in flatten_tt_params(params, self.num_layers,
+                                               include_ffn=include_ffn)]
             rpt = max(1, 128 // f) * f
             pe_rows = jnp.asarray(_pe_rows(f, c, rpt, self.max_len),
                                   self.dtype)
@@ -102,7 +108,9 @@ class TemporalTransformer3DModel(nn.Module):
             g2 = gn.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww * f, c)
             out = fused_temporal_transformer(
                 g2.astype(self.dtype), x2.astype(self.dtype), pe_rows,
-                flat, self.heads, f, self.num_layers)
+                flat, self.heads, f, self.num_layers, include_ffn)
+            if not include_ffn:
+                out = ffn_tail(out, x2, params, self.dtype)
             return out.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
 
         residual = x

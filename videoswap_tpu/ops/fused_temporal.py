@@ -46,9 +46,12 @@ CLIP = 60.0
 
 
 # --------------------------------------------------------------- params
-def flatten_tt_params(p: dict, n_blocks: int) -> list:
+def flatten_tt_params(p: dict, n_blocks: int,
+                      include_ffn: bool = True) -> list:
     """TemporalTransformer3DModel param dict -> flat arg list (fixed order,
-    GroupNorm excluded — it runs outside the kernel).
+    GroupNorm excluded — it runs outside the kernel). With
+    include_ffn=False only proj_in + attention-block params are emitted
+    (FFN/proj_out run outside when the weights don't fit VMEM).
     Layout mirrors models/motion_module.py naming."""
     out = [p['proj_in']['kernel'], p['proj_in']['bias']]
     for i in range(n_blocks):
@@ -59,11 +62,13 @@ def flatten_tt_params(p: dict, n_blocks: int) -> list:
                     a['to_q']['kernel'], a['to_k']['kernel'],
                     a['to_v']['kernel'],
                     a['to_out_0']['kernel'], a['to_out_0']['bias']]
-        out += [b['ff_norm']['scale'], b['ff_norm']['bias'],
-                b['ff']['net_0_proj']['kernel'],
-                b['ff']['net_0_proj']['bias'],
-                b['ff']['net_2']['kernel'], b['ff']['net_2']['bias']]
-    out += [p['proj_out']['kernel'], p['proj_out']['bias']]
+        if include_ffn:
+            out += [b['ff_norm']['scale'], b['ff_norm']['bias'],
+                    b['ff']['net_0_proj']['kernel'],
+                    b['ff']['net_0_proj']['bias'],
+                    b['ff']['net_2']['kernel'], b['ff']['net_2']['bias']]
+    if include_ffn:
+        out += [p['proj_out']['kernel'], p['proj_out']['bias']]
     return out
 
 
@@ -74,7 +79,7 @@ N_TAIL_PARAMS = 2
 
 # --------------------------------------------------------------- kernel
 def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
-            n_blocks: int, scale: float, rpt: int):
+            n_blocks: int, scale: float, rpt: int, include_ffn: bool):
     refs = list(args[:-2])
     o_ref, s_scr = args[-2], args[-1]
     c = x_ref.shape[-1]
@@ -154,16 +159,22 @@ def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
             attn = jnp.concatenate(attn_rows, axis=0).astype(x.dtype)
             h = h + dot(attn, wo[:]) + bo[:]
 
-        fn_g, fn_b, w1, b1, w2, b2 = take(6)
-        ln = layernorm(h, fn_g[:], fn_b[:]).astype(x.dtype)
-        hh_ = dot(ln, w1[:]) + b1[:]
-        mid = hh_.shape[-1] // 2
-        g = hh_[:, :mid] * gelu_exact(hh_[:, mid:])
-        h = h + dot(g.astype(x.dtype), w2[:]) + b2[:]
+        if include_ffn:
+            fn_g, fn_b, w1, b1, w2, b2 = take(6)
+            ln = layernorm(h, fn_g[:], fn_b[:]).astype(x.dtype)
+            hh_ = dot(ln, w1[:]) + b1[:]
+            mid = hh_.shape[-1] // 2
+            g = hh_[:, :mid] * gelu_exact(hh_[:, mid:])
+            h = h + dot(g.astype(x.dtype), w2[:]) + b2[:]
 
-    wout, bout = take(2)
-    out = dot(h.astype(x.dtype), wout[:]) + bout[:]
-    o_ref[:] = (x32 + out).astype(o_ref.dtype)
+    if include_ffn:
+        wout, bout = take(2)
+        out = dot(h.astype(x.dtype), wout[:]) + bout[:]
+        o_ref[:] = (x32 + out).astype(o_ref.dtype)
+    else:
+        # FFN + proj_out run outside (weights would not fit VMEM at
+        # C>=640); emit h for the XLA/geglu continuation
+        o_ref[:] = h.astype(o_ref.dtype)
 
 
 # --------------------------------------------------------- host wrapper
@@ -174,7 +185,7 @@ def _pe_rows(f: int, c: int, rpt: int, max_len: int) -> np.ndarray:
 
 
 def _forward(g2, x2, pe_rows, flat_params, *, heads, f, n_blocks,
-             interpret=False):
+             include_ffn=True, interpret=False):
     n, c = x2.shape
     d = c // heads
     rpt = max(1, 128 // f) * f
@@ -191,7 +202,8 @@ def _forward(g2, x2, pe_rows, flat_params, *, heads, f, n_blocks,
                for p in flat_params]
     out = pl.pallas_call(
         functools.partial(_kernel, heads=heads, f=f, n_blocks=n_blocks,
-                          scale=d ** -0.5, rpt=rpt),
+                          scale=d ** -0.5, rpt=rpt,
+                          include_ffn=include_ffn),
         grid=(npad // block_rows,),
         in_specs=[pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
                   pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
@@ -207,7 +219,8 @@ def _forward(g2, x2, pe_rows, flat_params, *, heads, f, n_blocks,
     return out[:n]
 
 
-def _xla_reference(g2, x2, pe_rows, flat_params, heads, f, n_blocks):
+def _xla_reference(g2, x2, pe_rows, flat_params, heads, f, n_blocks,
+                   include_ffn=True):
     """Same math in plain XLA (CPU fallback, VJP, parity tests)."""
     n, c = x2.shape
     d = c // heads
@@ -242,44 +255,73 @@ def _xla_reference(g2, x2, pe_rows, flat_params, heads, f, n_blocks):
             o = jnp.einsum('lfgh,lghd->lfhd', p.astype(x2.dtype),
                            v).reshape(n, c)
             h = h + o @ wo + bo
-        fn_g, fn_b, w1, b1, w2, b2 = take(6)
-        l_ = ln(h, fn_g, fn_b).astype(x2.dtype)
-        hh_ = l_ @ w1 + b1
-        a, gate = jnp.split(hh_, 2, axis=-1)
-        g = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False)
-        h = h + g.astype(x2.dtype) @ w2 + b2
+        if include_ffn:
+            fn_g, fn_b, w1, b1, w2, b2 = take(6)
+            l_ = ln(h, fn_g, fn_b).astype(x2.dtype)
+            hh_ = l_ @ w1 + b1
+            a, gate = jnp.split(hh_, 2, axis=-1)
+            g = a * jax.nn.gelu(gate.astype(jnp.float32),
+                                approximate=False)
+            h = h + g.astype(x2.dtype) @ w2 + b2
 
+    if not include_ffn:
+        return h.astype(x2.dtype)
     wout, bout = take(2)
     return (x32 + (h.astype(x2.dtype) @ wout + bout)).astype(x2.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_temporal_transformer(g2, x2, pe_rows, flat_params, heads: int,
-                               f: int, n_blocks: int):
+                               f: int, n_blocks: int,
+                               include_ffn: bool = True):
     """g2: per-frame-GroupNormed input; x2: residual input — both
     (L*F, C), rows ordered (location, frame). proj_in -> blocks ->
-    proj_out, + x2 residual."""
+    proj_out, + x2 residual. With include_ffn=False, returns the hidden
+    state after the attention blocks (FFN/proj_out run outside)."""
     if jax.default_backend() != 'tpu':
         return _xla_reference(g2, x2, pe_rows, flat_params, heads, f,
-                              n_blocks)
+                              n_blocks, include_ffn)
     return _forward(g2, x2, jnp.asarray(pe_rows, x2.dtype),
-                    list(flat_params), heads=heads, f=f, n_blocks=n_blocks)
+                    list(flat_params), heads=heads, f=f, n_blocks=n_blocks,
+                    include_ffn=include_ffn)
 
 
-def _fwd(g2, x2, pe_rows, flat_params, heads, f, n_blocks):
+def _fwd(g2, x2, pe_rows, flat_params, heads, f, n_blocks, include_ffn):
     out = fused_temporal_transformer(g2, x2, pe_rows, flat_params, heads,
-                                     f, n_blocks)
+                                     f, n_blocks, include_ffn)
     return out, (g2, x2, pe_rows, flat_params)
 
 
-def _bwd(heads, f, n_blocks, res, g):
+def _bwd(heads, f, n_blocks, include_ffn, res, g):
     g2, x2, pe_rows, flat_params = res
     _, vjp = jax.vjp(
         lambda g2, x2, fp: _xla_reference(g2, x2, pe_rows, fp, heads, f,
-                                          n_blocks),
+                                          n_blocks, include_ffn),
         g2, x2, tuple(flat_params))
     dg, dx, dfp = vjp(g)
     return dg, dx, None, list(dfp)
 
 
 fused_temporal_transformer.defvjp(_fwd, _bwd)
+
+
+def ffn_tail(h2, x2, tt_params, dtype):
+    """ff_norm -> GEGLU FFN (fused kernel) -> residual -> proj_out ->
+    + outer residual — the continuation after an include_ffn=False kernel
+    (n_blocks == 1). Plain jnp + geglu_ffn, so autodiff just works."""
+    from .geglu_ffn import geglu_ffn
+    blk = tt_params['transformer_blocks_0']
+    h32 = h2.astype(jnp.float32)
+    mu = h32.mean(-1, keepdims=True)
+    var = ((h32 - mu) ** 2).mean(-1, keepdims=True)
+    l_ = ((h32 - mu) * jax.lax.rsqrt(var + 1e-6)
+          * blk['ff_norm']['scale'] + blk['ff_norm']['bias']).astype(dtype)
+    ffn = geglu_ffn(l_,
+                    blk['ff']['net_0_proj']['kernel'].astype(dtype),
+                    blk['ff']['net_0_proj']['bias'].astype(jnp.float32),
+                    blk['ff']['net_2']['kernel'].astype(dtype),
+                    blk['ff']['net_2']['bias'].astype(jnp.float32))
+    h2 = h2 + ffn.astype(h2.dtype)
+    out = (h2.astype(dtype) @ tt_params['proj_out']['kernel'].astype(dtype)
+           + tt_params['proj_out']['bias'].astype(jnp.float32))
+    return (x2.astype(jnp.float32) + out).astype(x2.dtype)

@@ -56,6 +56,11 @@ class EditConfig:
     cross_site_names: tuple[str, ...]
     self_site_names: tuple[str, ...]
     self_site_hw: tuple[tuple[str, tuple[int, int]], ...]
+    # recompute the base SELF maps from the stored pre-step inversion
+    # latents instead of storing them: 50-step self stores at 512^2 are
+    # ~5 GB of HBM (the reference CPU-offloads, attention_store.py:98);
+    # one extra no-CFG U-Net pass per edit step instead
+    recompute_self: bool = False
 
 
 @dataclass
@@ -76,6 +81,34 @@ def _flatten_attn_store(store: dict) -> dict:
     return out
 
 
+def self_store_bytes(num_steps: int, video_length: int, h8: int, w8: int,
+                     heads: int = 8, itemsize: int = 2) -> int:
+    """Projected HBM bytes of storing every self site over all steps."""
+    total = 0
+    for s in sites.all_sites('self'):
+        tok = sites.site_tokens(s, h8, w8)
+        if tok < sites.CTRL_MAX_TOKENS:
+            total += num_steps * video_length * heads * tok * tok * itemsize
+    return total
+
+
+SELF_STORE_BUDGET = 1 << 30     # 1 GiB: above this, recompute instead
+
+
+def want_recompute_self(editing_config: dict, height: int, width: int,
+                        video_length: int, num_steps: int) -> bool:
+    h8, w8 = height // 8, width // 8
+    needs_self = any((s.get('blend_cfg') or {}).get('self_replace_steps')
+                     for s in editing_config.get('editing_prompts',
+                                                 {}).values())
+    if not needs_self:
+        return False
+    mode = editing_config.get('recompute_self_stores', 'auto')
+    if mode in (True, False):
+        return bool(mode)
+    return self_store_bytes(num_steps, video_length, h8, w8)         > SELF_STORE_BUDGET
+
+
 def make_edit_bundle(tokenizer,
                      source_prompt: str,
                      target_prompt: str,
@@ -88,7 +121,10 @@ def make_edit_bundle(tokenizer,
                      blend_words=None,
                      blend_cfg: Optional[dict] = None,
                      do_cfg: bool = True,
-                     is_replace: bool = False) -> EditBundle:
+                     is_replace: bool = False,
+                     recompute_self: bool = False,
+                     inv_z0=None,
+                     inv_ts=None) -> EditBundle:
     blend_cfg = blend_cfg or {}
     h8, w8 = height // 8, width // 8
     prompts = [source_prompt, target_prompt]
@@ -123,6 +159,7 @@ def make_edit_bundle(tokenizer,
         cross_active=bool(cross_active), self_range=self_range,
         blend_latents=blend_words is not None,
         blend_self=blend_words is not None and self_active,
+        recompute_self=bool(recompute_self and self_active),
         th=th, start_blend=int(0.2 * num_steps),
         end_blend=int(0.8 * num_steps),
         blend_site_names=tuple(s.name for s in b_sites),
@@ -168,9 +205,17 @@ def make_edit_bundle(tokenizer,
                         if n in inv_attn}
     missing = needed - set(xs['base_cross'])
     assert not missing, f'inversion store missing sites: {missing}'
-    if self_active:
+    if self_active and not cfg.recompute_self:
         xs['base_self'] = {n: inv_attn[n][::-1]
                            for n in cfg.self_site_names}
+    elif cfg.recompute_self:
+        # pre-step inversion latents + timesteps, reversed: edit step i
+        # recomputes inversion step N-1-i's U-Net pass for its self maps
+        assert inv_z0 is not None and inv_ts is not None
+        pre = jnp.concatenate([inv_z0[None],
+                               inv_latents_per_step[:-1]], axis=0)
+        xs['inv_lat_pre'] = pre[::-1]
+        xs['inv_t'] = jnp.asarray(inv_ts)[::-1]
 
     init_sums = {}
     if cfg.blend_latents:
@@ -188,18 +233,22 @@ def store_filter_for(bundle_cfg: EditConfig):
 
 
 def inversion_store_filter(editing_config: dict, tokenizer, height: int,
-                           width: int):
+                           width: int, video_length: int = 16,
+                           num_steps: int = 50):
     """Which sites the inversion pass must capture, across all swaps
-    (reference stores everything < 32^2; we store what is consumed)."""
+    (reference stores everything < 32^2; we store what is consumed).
+    Self sites are skipped when the recompute path will regenerate them."""
     h8, w8 = height // 8, width // 8
     names = {s.name for s in sites.blend_sites(h8, w8)}
+    recompute = want_recompute_self(editing_config, height, width,
+                                    video_length, num_steps)
     for swap_cfg in editing_config.get('editing_prompts', {}).values():
         bc = swap_cfg.get('blend_cfg', {}) or {}
         if bc.get('cross_replace_steps', 0.0):
             names |= {s.name for s in sites.all_sites('cross')
                       if sites.site_tokens(s, h8, w8)
                       < sites.CTRL_MAX_TOKENS}
-        if bc.get('self_replace_steps', 0.0):
+        if bc.get('self_replace_steps', 0.0) and not recompute:
             names |= {s.name for s in sites.all_sites('self')
                       if sites.site_tokens(s, h8, w8)
                       < sites.CTRL_MAX_TOKENS}

@@ -35,11 +35,13 @@ from videoswap_tpu.models import AnimateDiffUNet3DModel, SparsePointAdapter
 from videoswap_tpu.models.clip_text import CLIPTextModel
 from videoswap_tpu.models.vae import AutoencoderKL
 from videoswap_tpu.p2p import NO_CTRL, AttnCtrl
+from videoswap_tpu.p2p import sites as sites_mod
 from videoswap_tpu.p2p.edit import (EditBundle, _flatten_attn_store,
                                     inversion_store_filter,
                                     latent_blend_step, make_edit_bundle,
                                     make_store_edit_ctrl,
-                                    self_masks_for_step)
+                                    self_masks_for_step,
+                                    want_recompute_self)
 from videoswap_tpu.schedulers import (DiffusionSchedule, ddim_inverse_step,
                                       ddim_inverse_timesteps, ddim_step,
                                       ddim_timesteps)
@@ -138,7 +140,9 @@ class VideoSwapPipeline:
         """DDIM-invert a source video (reference `invert`, :621-721).
 
         Returns (inverted_latents [B,F,h,w,4], per_step dict with 'latents'
-        [N,B,F,h,w,4] and 'attn' {site: [N, F, heads, S, T]}).
+        [N,B,F,h,w,4] (post-step), 'z0' [B,F,h,w,4] (the encoded latents
+        before any inverse step), 'ts' [N] inversion timesteps, and 'attn'
+        {site: [N, F, heads, S, T]}).
 
         guidance_scale is 1 during inversion (reference :627), so no CFG.
         The VAE posterior MODE is used (deterministic inversion; the
@@ -184,11 +188,14 @@ class VideoSwapPipeline:
                     new_lat, store = body(params, lat, t, text)
                     return new_lat, {'latents': new_lat, 'attn': store}
 
-                return jax.lax.scan(scan_body, latents, ts)
+                lat, per = jax.lax.scan(scan_body, latents, ts)
+                return lat, per, latents
 
             jfn = self._cached(('invert', num_inference_steps, pixels.shape,
                                 want_store, store_ctrl.mode), fn)
-            return jfn(self.params, pixels, text)
+            lat, per_step, z0 = jfn(self.params, pixels, text)
+            per_step = dict(per_step, z0=z0, ts=ts)
+            return lat, per_step
 
         enc = self._cached(('invert_enc', pixels.shape),
                            lambda params, px, tx: encode(params, px, tx))
@@ -196,6 +203,7 @@ class VideoSwapPipeline:
                              pixels.shape, want_store, store_ctrl.mode),
                             body)
         lat = enc(self.params, pixels, text)
+        z0 = lat
         lat_hist, attn_hist = [], []
         for t in np.asarray(ts):
             lat, store = step(self.params, lat, jnp.asarray(t), text)
@@ -203,6 +211,8 @@ class VideoSwapPipeline:
             attn_hist.append(store)
         per_step = {
             'latents': jnp.stack(lat_hist),
+            'z0': z0,
+            'ts': ts,
             'attn': jax.tree.map(lambda *xs: jnp.stack(xs), *attn_hist)
             if want_store else {},
         }
@@ -226,7 +236,8 @@ class VideoSwapPipeline:
                edit_bundle: Optional[EditBundle] = None,
                rng: Optional[jax.Array] = None,
                loop: str = 'auto',
-               output_type: str = 'pil'):
+               output_type: str = 'pil',
+               return_attn_sums: bool = False):
         """The reference `__call__` (:426-619): CFG DDIM sampling from
         (usually) inverted latents with point-adapter residual guidance and
         optional prompt-to-prompt control + latent blending."""
@@ -277,6 +288,49 @@ class VideoSwapPipeline:
                     state['base_self'] = step['base_self']
                     state['self_on'] = ((i >= ecfg.self_range[0])
                                         & (i < ecfg.self_range[1]))
+                elif ecfg.recompute_self:
+                    # regenerate inversion step N-1-i's self maps from the
+                    # stored pre-step latent (HBM-resident stores would be
+                    # ~5 GB at 512^2; the reference CPU-offloads instead)
+                    self_names = set(ecfg.self_site_names)
+                    store_ctrl = AttnCtrl(
+                        mode='store',
+                        store_filter=lambda site, q:
+                            site.name in self_names)
+                    self_on = ((i >= ecfg.self_range[0])
+                               & (i < ecfg.self_range[1]))
+
+                    def _recompute(args):
+                        lat_pre, t_inv = args
+                        _, v = self.unet.apply(
+                            params['unet'], lat_pre, t_inv,
+                            estate['src_text'], ctrl=store_ctrl,
+                            mutable=['attn_store'])
+                        maps = _flatten_attn_store(v['attn_store'])
+                        return tuple(maps[n].astype(jnp.float32)
+                                     for n in ecfg.self_site_names)
+
+                    def _shapes(args):
+                        lat_pre, _ = args
+                        f_ = ecfg.video_length
+                        outs = []
+                        for n in ecfg.self_site_names:
+                            for s_ in sites_mod.all_sites('self'):
+                                if s_.name == n:
+                                    tok = sites_mod.site_tokens(
+                                        s_, ecfg.h8, ecfg.w8)
+                                    break
+                            outs.append(jnp.zeros(
+                                (f_, self.unet.cfg.attention_head_dim,
+                                 tok, tok), jnp.float32))
+                        return tuple(outs)
+
+                    maps = jax.lax.cond(
+                        self_on, _recompute, _shapes,
+                        (step['inv_lat_pre'], step['inv_t']))
+                    state['base_self'] = dict(
+                        zip(ecfg.self_site_names, maps))
+                    state['self_on'] = self_on
                 if ecfg.blend_self:
                     state['self_mask'] = self_masks_for_step(
                         ecfg, estate, state['base'])
@@ -330,12 +384,12 @@ class VideoSwapPipeline:
                                      adapter_states, estate), None
 
                 xs = {'i': jnp.arange(len(ts)), 't': ts, **xs_extra}
-                (lat, _), _ = jax.lax.scan(body, (latents, sums0), xs)
-                return lat
+                (lat, sums), _ = jax.lax.scan(body, (latents, sums0), xs)
+                return lat, sums
 
-            lat = self._cached(key, fn)(self.params, latents, text,
-                                        adapter_states, estate, xs_extra,
-                                        sums0)
+            lat, attn_sums = self._cached(key, fn)(
+                self.params, latents, text, adapter_states, estate,
+                xs_extra, sums0)
         else:
             def fn(params, carry, step, text, adapter_states, estate):
                 return step_body(params, carry, step, text, adapter_states,
@@ -348,10 +402,16 @@ class VideoSwapPipeline:
                 step.update(jax.tree.map(lambda a: a[i], xs_extra))
                 carry = step_jit(self.params, carry, step, text,
                                  adapter_states, estate)
-            lat = carry[0]
+            lat, attn_sums = carry
+
+        def _wrap(frames):
+            # running per-step sums of the editing run's stored target maps
+            # (the reference's accumulated attention_store,
+            # pipeline_videoswap.py:404-415 / attention_store.py:103-110)
+            return (frames, attn_sums) if return_attn_sums else frames
 
         if output_type == 'latent':
-            return lat
+            return _wrap(lat)
 
         def _decode(params, z):
             img = self.vae.apply(params, z.astype(jnp.float32),
@@ -363,16 +423,22 @@ class VideoSwapPipeline:
         decode = self._cached(('decode', lat.shape), _decode)
         video = np.asarray(jax.device_get(decode(self.params['vae'], lat)))
         if output_type == 'np':
-            return video.astype(np.float32) / 127.5 - 1.0
+            return _wrap(video.astype(np.float32) / 127.5 - 1.0)
         from PIL import Image
-        return [Image.fromarray(f) for f in video[0]]
+        return _wrap([Image.fromarray(f) for f in video[0]])
 
     def _dump_attention_maps(self, prompt: str, frames, key: str,
-                             save_dir: str) -> None:
+                             save_dir: str, attn_sums=None,
+                             num_steps: int = 50) -> None:
         """Cross-attention heatmaps for a finished edit (reference
-        visualize_attention, pipeline_videoswap.py:404-415 — the reference
-        aggregates maps over all editing steps; here one U-Net pass on the
-        result's latents at a mid timestep captures the maps)."""
+        visualize_attention, pipeline_videoswap.py:404-415).
+
+        With `attn_sums` (the editing run's per-step accumulated target
+        maps at the blend sites — the reference's summed attention_store)
+        the dump aggregates across ALL editing steps exactly like
+        get_average_attention (attention_store.py:112-118). Without stores
+        (use_blend: false edits) it falls back to one U-Net pass on the
+        result's latents at t=261."""
         import os
         from videoswap_tpu.p2p.edit import _flatten_attn_store
         from videoswap_tpu.p2p.visualization import show_cross_attention
@@ -381,22 +447,29 @@ class VideoSwapPipeline:
 
         pixels = jnp.asarray(preprocess_video(frames))
         h8, w8 = pixels.shape[2] // 8, pixels.shape[3] // 8
-        store_ctrl = AttnCtrl(
-            mode='store',
-            store_filter=lambda site, q: site.kind == 'cross')
-        text = self.encode_prompt([prompt])
 
-        def fn(params, pixels, text):
-            lat = self.vae.apply(params['vae'],
-                                 pixels.astype(jnp.float32),
-                                 method=AutoencoderKL.encode_video)
-            _, v = self.unet.apply(params['unet'], lat.astype(text.dtype),
-                                   jnp.asarray(261), text, ctrl=store_ctrl,
-                                   mutable=['attn_store'])
-            return _flatten_attn_store(v['attn_store'])
+        if attn_sums:
+            store = {name: np.asarray(jax.device_get(a)) / num_steps
+                     for name, a in attn_sums.items()}
+        else:
+            store_ctrl = AttnCtrl(
+                mode='store',
+                store_filter=lambda site, q: site.kind == 'cross')
+            text = self.encode_prompt([prompt])
 
-        store = jax.device_get(self._cached(
-            ('attn_viz', pixels.shape), fn)(self.params, pixels, text))
+            def fn(params, pixels, text):
+                lat = self.vae.apply(params['vae'],
+                                     pixels.astype(jnp.float32),
+                                     method=AutoencoderKL.encode_video)
+                _, v = self.unet.apply(params['unet'],
+                                       lat.astype(text.dtype),
+                                       jnp.asarray(261), text,
+                                       ctrl=store_ctrl,
+                                       mutable=['attn_store'])
+                return _flatten_attn_store(v['attn_store'])
+
+            store = jax.device_get(self._cached(
+                ('attn_viz', pixels.shape), fn)(self.params, pixels, text))
         blend = p2p_sites.blend_sites(h8, w8)
         if blend:
             ry, rx = p2p_sites.site_hw(blend[0], h8, w8)
@@ -425,13 +498,16 @@ class VideoSwapPipeline:
         width, height = width - width % 8, height - height % 8
 
         ddim_latents, per_step = None, None
+        recompute_self = want_recompute_self(cfg, height, width,
+                                             video_length, steps)
         if use_inv:
             store_ctrl = NO_CTRL
             if use_blend:
                 store_ctrl = AttnCtrl(
                     mode='store',
                     store_filter=inversion_store_filter(
-                        cfg, self.tokenizer, height, width))
+                        cfg, self.tokenizer, height, width,
+                        video_length=video_length, num_steps=steps))
             ddim_latents, per_step = self.invert(
                 source_video, source_prompt, num_inference_steps=steps,
                 store_ctrl=store_ctrl)
@@ -483,8 +559,16 @@ class VideoSwapPipeline:
                     inv_attn_store=per_step['attn'],
                     blend_words=blend_words,
                     blend_cfg=swap_cfg.get('blend_cfg', {}),
-                    do_cfg=guidance_scale > 1.0)
+                    do_cfg=guidance_scale > 1.0,
+                    recompute_self=recompute_self,
+                    inv_z0=per_step.get('z0'), inv_ts=per_step.get('ts'))
+                if edit_bundle.cfg.recompute_self:
+                    edit_bundle.static_state['src_text'] = \
+                        self.encode_prompt([source_prompt])
 
+            want_sums = bool(cfg.get('visualize_attention')
+                             and edit_bundle is not None
+                             and save_dir is not None)
             frames = self.sample(
                 prompt=target_prompt,
                 video_length=video_length, height=height, width=width,
@@ -500,7 +584,11 @@ class VideoSwapPipeline:
                 t2i_end=cfg.get('t2i_end', 1.0),
                 edit_bundle=edit_bundle,
                 rng=jax.random.PRNGKey(0),  # seed-0 per edit (reference :381)
+                return_attn_sums=want_sums,
             )
+            attn_sums = None
+            if want_sums:
+                frames, attn_sums = frames
             results[key] = frames
 
             if conditions is not None and cfg.get('visualize_point'):
@@ -510,7 +598,8 @@ class VideoSwapPipeline:
 
             if cfg.get('visualize_attention') and save_dir is not None:
                 self._dump_attention_maps(target_prompt, frames, key,
-                                          save_dir)
+                                          save_dir, attn_sums=attn_sums,
+                                          num_steps=steps)
 
             if lora_ctx is not None:
                 from videoswap_tpu.edlora import restore_pipeline

@@ -43,11 +43,18 @@ def copy_opt_file(opt_path: str, experiments_root: str) -> None:
 
 def set_path_logger(root_path: str, config_path: str, opt: dict,
                     is_train: bool = True) -> dict:
-    """Create the experiment directory tree and record paths in opt."""
+    """Create the experiment directory tree and record paths in opt.
+
+    Multi-host: only process 0 touches the filesystem (the reference gates
+    on accelerator.is_main_process, logger.py:82 / train.py:210); other
+    processes get the same paths + a stream-only logger."""
+    from videoswap_tpu.parallel.dist import barrier, is_main_process
     name = opt['name']
     base = 'experiments' if is_train else 'results'
     exp_root = os.path.join(root_path, base, name)
-    mkdir_and_rename(exp_root)
+    main = is_main_process()
+    if main:
+        mkdir_and_rename(exp_root)
     paths = {
         'exp_root': exp_root,
         'models': os.path.join(exp_root, 'models'),
@@ -55,11 +62,13 @@ def set_path_logger(root_path: str, config_path: str, opt: dict,
         'log': os.path.join(exp_root, f'{"train" if is_train else "test"}_'
                             f'{name}_{get_time_str()}.log'),
     }
-    for k in ('models', 'visualization'):
-        os.makedirs(paths[k], exist_ok=True)
-    copy_opt_file(config_path, exp_root)
+    if main:
+        for k in ('models', 'visualization'):
+            os.makedirs(paths[k], exist_ok=True)
+        copy_opt_file(config_path, exp_root)
     opt.setdefault('path', {}).update(paths)
-    init_logger(paths['log'])
+    init_logger(paths['log'] if main else None)
+    barrier('set_path_logger')
     return paths
 
 
