@@ -22,7 +22,8 @@ import pytest
 import videoswap_tpu.p2p.sites as sites
 from videoswap_tpu.builders import (adapter_config_from_opt,
                                     unet_config_from_opt)
-from videoswap_tpu.p2p.edit import inversion_store_filter, make_edit_bundle
+from videoswap_tpu.p2p.edit import (inversion_store_filter,
+                                    make_edit_bundle, want_recompute_self)
 from videoswap_tpu.pipelines import VideoSwapTrainer
 from videoswap_tpu.utils.config import load_config
 from videoswap_tpu.utils.tokenizer import HashTokenizer
@@ -109,7 +110,11 @@ def test_swap_config_builds(path):
     use_blend = ec.get('use_blend', False)
 
     if use_blend:
-        # the inversion pass must know what to capture across ALL swaps
+        # the inversion pass must know what to capture across ALL swaps;
+        # when the projected self-store exceeds budget the filter skips
+        # self sites and the bundle must take the recompute path instead
+        # (exactly how the pipeline wires it, videoswap_pipeline.py:501-563)
+        recompute = want_recompute_self(ec, height, width, 16, steps)
         filt = inversion_store_filter(ec, tokenizer, height, width)
         stored_cross = [s.name for s in sites.all_sites('cross')
                         if filt(s, sites.site_tokens(s, h8, w8))]
@@ -142,7 +147,8 @@ def test_swap_config_builds(path):
             inv_latents_per_step=lat, inv_attn_store=attn,
             blend_words=[src.split(' '), tgt.split(' ')],
             blend_cfg=swap.get('blend_cfg', {}) or {},
-            do_cfg=gs > 1.0)
+            do_cfg=gs > 1.0, recompute_self=recompute,
+            inv_z0=lat[0], inv_ts=np.arange(steps))
         cfg = bundle.cfg
         assert cfg.blend_latents
         assert bundle.static_state['alpha_layers'].shape == (2, 77)
@@ -153,7 +159,12 @@ def test_swap_config_builds(path):
             assert bundle.xs['base_cross'][n].shape[0] == steps
         bc = swap.get('blend_cfg', {}) or {}
         if bc.get('self_replace_steps', 0.0):
-            assert cfg.blend_self and 'base_self' in bundle.xs
+            assert cfg.blend_self
+            if cfg.recompute_self:
+                assert 'inv_lat_pre' in bundle.xs and 'inv_t' in bundle.xs
+                assert bundle.xs['inv_lat_pre'].shape[0] == steps
+            else:
+                assert 'base_self' in bundle.xs
         if bc.get('cross_replace_steps', 0.0):
             assert cfg.cross_active
 
