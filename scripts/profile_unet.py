@@ -87,7 +87,7 @@ def run_variant(variant: str) -> float:
         params = jax.jit(model.init)(jax.random.PRNGKey(0), sample, t, text)
 
         @jax.jit
-        def step(x):
+        def step(params, x):
             eps = model.apply(params, x, t, text)
             # feed eps back: keeps iterations dependent, same shape/dtype
             return (x * np.float32(0.98) - eps * np.float32(0.1)).astype(
@@ -95,11 +95,11 @@ def run_variant(variant: str) -> float:
 
         x = sample
         for _ in range(WARMUP):
-            x = step(x)
+            x = step(params, x)
         float(jnp.sum(x))
         t0 = time.time()
         for _ in range(ITERS):
-            x = step(x)
+            x = step(params, x)
         float(jnp.sum(x))
         ms = (time.time() - t0) / ITERS * 1e3
         return ms

@@ -91,3 +91,34 @@ def test_attention_store_capture(outs):
         np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-4)
     # store mode must not perturb the output
     np.testing.assert_allclose(o['store_out'], o['t10'], atol=1e-5)
+
+
+def test_cfg_prefix_dedup_matches_duplicated():
+    """cfg_prefix_dedup (run the shared CFG prefix once, double at the first
+    cross-attention) is exact: same outputs as the duplicated [lat; lat]
+    batch. Adapter residuals enter duplicated, like the pipeline's CFG path
+    (reference pipeline_videoswap.py:544-550)."""
+    model = AnimateDiffUNet3DModel(cfg=TINY)
+    lat = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 32, 32, 4))
+    text2 = jax.random.normal(jax.random.PRNGKey(4), (2, 7, 32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros_like(lat),
+                        jnp.array([0]), jnp.zeros((1, 7, 32)))
+    ch = TINY.block_out_channels
+    res2 = [
+        jax.random.normal(jax.random.PRNGKey(10 + i),
+                          (1, 2, 32 // 2 ** i, 32 // 2 ** i, ch[i])) * 0.1
+        for i in range(4)
+    ]
+    res2 = [jnp.concatenate([r, r], axis=0) for r in res2]
+
+    @jax.jit
+    def run(params, lat, text2):
+        dup = model.apply(params, jnp.concatenate([lat, lat], 0),
+                          jnp.array([500]), text2, adapter_residuals=res2)
+        ded = model.apply(params, lat, jnp.array([500]), text2,
+                          adapter_residuals=res2, cfg_prefix_dedup=True)
+        return dup, ded
+
+    dup, ded = jax.device_get(run(params, lat, text2))
+    assert ded.shape == dup.shape == (2, 2, 32, 32, 4)
+    np.testing.assert_allclose(ded, dup, rtol=2e-5, atol=2e-5)

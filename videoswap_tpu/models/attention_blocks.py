@@ -36,6 +36,12 @@ class BasicTransformerBlock(nn.Module):
     attn_index: int       # per-place spatial-attention counter
     cross_layer_idx: int  # global cross-attn layer index (ED-LoRA slicing)
     attn_impl: str = 'auto'
+    # CFG-prefix dedup: x enters as the single shared half (the CFG batch
+    # halves are identical until text first enters at attn2) and is doubled
+    # to [uncond; cond] right before the cross-attention. Exact math — the
+    # controller can never touch this block's sites (its query length is
+    # above the <32^2 control threshold whenever dedup is enabled).
+    cfg_expand: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,6 +66,9 @@ class BasicTransformerBlock(nn.Module):
 
         h = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
         x = self._run_attn(attn1, h, None, site_self, tokens, ctrl) + x
+
+        if self.cfg_expand:
+            x = jnp.concatenate([x, x], axis=0)
 
         h = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
         x = self._run_attn(attn2, h, text, site_cross, tokens, ctrl) + x
@@ -93,12 +102,15 @@ class Transformer3DModel(nn.Module):
     cross_layer_idx: int
     norm_groups: int = 32
     attn_impl: str = 'auto'
+    cfg_expand: bool = False  # see BasicTransformerBlock.cfg_expand
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, text: jnp.ndarray,
                  ctrl: AttnCtrl = NO_CTRL) -> jnp.ndarray:
         # x: (B, F, H, W, C); text: (B, 77, 768) / (B, L, 77, 768)
+        # with cfg_expand, x is the shared CFG half (B=1) while text carries
+        # both halves (B=2); the first block doubles x at its cross-attn
         b, f, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -119,9 +131,15 @@ class Transformer3DModel(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 place=self.place, attn_index=self.attn_index + i,
                 cross_layer_idx=self.cross_layer_idx + i,
-                attn_impl=self.attn_impl, dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                cfg_expand=self.cfg_expand and i == 0,
+                dtype=self.dtype,
                 name=f'transformer_blocks_{i}')(x, text, ctrl)
 
-        x = x.reshape(b * f, hh, ww, inner)
+        bf_out = x.shape[0]                 # b*f, or 2*b*f after cfg_expand
+        x = x.reshape(bf_out, hh, ww, inner)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name='proj_out')(x)
-        return x.reshape(b, f, hh, ww, c) + residual
+        x = x.reshape(bf_out // f, f, hh, ww, c)
+        if x.shape[0] != residual.shape[0]:
+            residual = jnp.concatenate([residual, residual], axis=0)
+        return x + residual

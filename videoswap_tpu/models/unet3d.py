@@ -66,6 +66,7 @@ class CrossAttnDownBlock3D(nn.Module):
     add_downsample: bool
     place_idx: int        # down block index (0..2) for attention numbering
     attn_impl: str = 'auto'
+    cfg_expand: bool = False  # CFG-prefix dedup (first block only)
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -88,6 +89,7 @@ class CrossAttnDownBlock3D(nn.Module):
                      num_layers=1, place='down',
                      attn_index=self.place_idx * n + i,
                      cross_layer_idx=self.place_idx * n + i,
+                     cfg_expand=self.cfg_expand and i == 0,
                      dtype=self.dtype, name=f'attentions_{i}')(x, text, ctrl)
             if self.use_motion:
                 x = VanillaTemporalModule(
@@ -271,10 +273,23 @@ class AnimateDiffUNet3DModel(nn.Module):
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
                  encoder_hidden_states: jnp.ndarray,
                  adapter_residuals: Optional[Sequence[jnp.ndarray]] = None,
-                 ctrl: AttnCtrl = NO_CTRL) -> jnp.ndarray:
+                 ctrl: AttnCtrl = NO_CTRL,
+                 cfg_prefix_dedup: bool = False) -> jnp.ndarray:
+        """cfg_prefix_dedup: classifier-free-guidance fast path. `sample` is
+        the SINGLE shared batch half (the caller would otherwise pass
+        [latents; latents]) while `encoder_hidden_states` carries both CFG
+        halves; the batch doubles to [uncond; cond] at the first
+        cross-attention — the first point where text (the only divergence
+        between the halves: timestep and adapter residuals are duplicated,
+        reference pipeline_videoswap.py:544-564) enters. Exact same math as
+        the duplicated pass, minus the duplicate prefix compute."""
         cfg = self.cfg
         chans = tuple(cfg.block_out_channels)
         remat = self.gradient_checkpointing
+        if cfg_prefix_dedup:
+            assert encoder_hidden_states.shape[0] == 2 * sample.shape[0], (
+                'cfg_prefix_dedup expects text with both CFG halves and '
+                'sample with one')
 
         timesteps = jnp.atleast_1d(jnp.asarray(timesteps))
         timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -290,7 +305,9 @@ class AnimateDiffUNet3DModel(nn.Module):
         res = (list(adapter_residuals) if adapter_residuals is not None
                else [None] * len(chans))
 
-        skips = [x]
+        # with dedup the conv_in skip is consumed by the (post-expansion)
+        # last up-block resnet at full CFG batch — double it here
+        skips = [jnp.concatenate([x, x], axis=0) if cfg_prefix_dedup else x]
         # -- down ------------------------------------------------------------
         for i, ch in enumerate(chans):
             is_final = i == len(chans) - 1
@@ -300,7 +317,9 @@ class AnimateDiffUNet3DModel(nn.Module):
                 x, s = CrossAttnDownBlock3D(
                     cfg=cfg, out_channels=ch, use_motion=use_motion,
                     add_downsample=True, place_idx=i,
-                    attn_impl=self.attn_impl, dtype=self.dtype,
+                    attn_impl=self.attn_impl,
+                    cfg_expand=cfg_prefix_dedup and i == 0,
+                    dtype=self.dtype,
                     remat=remat, name=f'down_blocks_{i}')(
                         x, temb, text, ctrl, res[i])
             else:

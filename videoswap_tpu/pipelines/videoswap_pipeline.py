@@ -201,12 +201,13 @@ class VideoSwapPipeline:
                            lambda params, px, tx: encode(params, px, tx))
         step = self._cached(('invert_step', num_inference_steps,
                              pixels.shape, want_store, store_ctrl.mode),
-                            body)
+                            lambda params, lat, i, ts_arr, text:
+                            body(params, lat, ts_arr[i], text))
         lat = enc(self.params, pixels, text)
         z0 = lat
         lat_hist, attn_hist = [], []
-        for t in np.asarray(ts):
-            lat, store = step(self.params, lat, jnp.asarray(t), text)
+        for i in range(len(np.asarray(ts))):
+            lat, store = step(self.params, lat, np.int32(i), ts, text)
             lat_hist.append(lat)
             attn_hist.append(store)
         per_step = {
@@ -270,10 +271,19 @@ class VideoSwapPipeline:
         do_edit = ecfg is not None
         loop = self._default_loop(loop)
 
+        # CFG-prefix dedup: the [uncond; cond] halves are identical until
+        # text enters at the first cross-attention (t and adapter residuals
+        # are duplicated), so the U-Net runs the prefix once on B=1 and
+        # doubles in-graph. Controllers cannot touch the dedup region (all
+        # its sites exceed the <32^2 control threshold at 256^2+ images).
+        dedup = bool(do_cfg and latents.shape[0] == 1
+                     and (height // 8) * (width // 8) >= 1024)
+
         def step_body(params, carry, step, text, adapter_states, estate):
             lat, sums = carry
             i, t = step['i'], step['t']
-            inp = jnp.concatenate([lat, lat], 0) if do_cfg else lat
+            inp = lat if (not do_cfg or dedup) \
+                else jnp.concatenate([lat, lat], 0)
             if has_adapter:
                 gate = ((i >= lo) & (i <= hi)).astype(inp.dtype)
                 res = [s * gate for s in adapter_states]
@@ -339,6 +349,7 @@ class VideoSwapPipeline:
                     eps, v = self.unet.apply(
                         params['unet'], inp, t, text,
                         adapter_residuals=res, ctrl=ctrl,
+                        cfg_prefix_dedup=dedup,
                         mutable=['attn_store'])
                     f = ecfg.video_length
                     for k, m in _flatten_attn_store(
@@ -347,10 +358,12 @@ class VideoSwapPipeline:
                 else:
                     eps = self.unet.apply(params['unet'], inp, t, text,
                                           adapter_residuals=res,
-                                          ctrl=ctrl)
+                                          ctrl=ctrl,
+                                          cfg_prefix_dedup=dedup)
             else:
                 eps = self.unet.apply(params['unet'], inp, t, text,
-                                      adapter_residuals=res)
+                                      adapter_residuals=res,
+                                      cfg_prefix_dedup=dedup)
 
             if do_cfg:
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -391,17 +404,21 @@ class VideoSwapPipeline:
                 self.params, latents, text, adapter_states, estate,
                 xs_extra, sums0)
         else:
-            def fn(params, carry, step, text, adapter_states, estate):
+            # all per-step slicing happens INSIDE the jit: an eager `ts[i]`
+            # or xs_extra slice per step costs a ~10-20 ms axon round trip
+            # each (CLAUDE.md), ~1 s over a 50-step loop
+            def fn(params, carry, i, ts_arr, xs_extra, text, adapter_states,
+                   estate):
+                step = {'i': i, 't': ts_arr[i]}
+                step.update(jax.tree.map(lambda a: a[i], xs_extra))
                 return step_body(params, carry, step, text, adapter_states,
                                  estate)
 
             step_jit = self._cached(key, fn)
             carry = (latents, sums0)
             for i in range(len(ts)):
-                step = {'i': jnp.asarray(i), 't': ts[i]}
-                step.update(jax.tree.map(lambda a: a[i], xs_extra))
-                carry = step_jit(self.params, carry, step, text,
-                                 adapter_states, estate)
+                carry = step_jit(self.params, carry, np.int32(i), ts,
+                                 xs_extra, text, adapter_states, estate)
             lat, attn_sums = carry
 
         def _wrap(frames):
