@@ -77,7 +77,7 @@ def main():
             logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                                 preferred_element_type=jnp.bfloat16)
             # reduce immediately: dead-code-proof but keeps the matmul
-            red = jnp.sum(logits, axis=-1) * 1e-6
+            red = (jnp.sum(logits, axis=-1) * 1e-6).astype(q.dtype)
             return q + red[..., None].transpose(0, 2, 1, 3)[..., :1], k
         print(f'logits_only   {timed_scan(logits_only, (q, k)):8.2f} ms',
               flush=True)
@@ -108,9 +108,21 @@ def main():
         def d128(q, k):
             logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                                 preferred_element_type=jnp.bfloat16)
-            red = jnp.sum(logits, axis=-1) * 1e-6
+            red = (jnp.sum(logits, axis=-1) * 1e-6).astype(q.dtype)
             return q + red[..., None].transpose(0, 2, 1, 3)[..., :1], k
         print(f'd128_matmul   {timed_scan(d128, (q128, k128)):8.2f} ms',
+              flush=True)
+
+    if 'kernel' in names:
+        from videoswap_tpu.ops.spatial_attention import spatial_self_attention
+        qm = q.reshape(B, S, H * D)
+        km = k.reshape(B, S, H * D)
+        vm = v.reshape(B, S, H * D)
+
+        def kern(q, k, v):
+            o = spatial_self_attention(q, k, v, H)
+            return o, q, k
+        print(f'kernel        {timed_scan(kern, (qm, km, vm)):8.2f} ms',
               flush=True)
 
     if 'd40_matmul' in names:
@@ -118,7 +130,7 @@ def main():
         def d40(q, k):
             logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                                 preferred_element_type=jnp.float32)
-            red = jnp.sum(logits, axis=-1) * 1e-6
+            red = (jnp.sum(logits, axis=-1) * 1e-6).astype(q.dtype)
             return q + red[..., None].transpose(0, 2, 1, 3)[..., :1], k
         print(f'd40_matmul32  {timed_scan(d40, (q, k)):8.2f} ms', flush=True)
 

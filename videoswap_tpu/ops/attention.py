@@ -98,8 +98,13 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     sq, sk = q.shape[1], k.shape[1]
     if sq == sk and sq <= 32 and use_flash is not True and impl != 'flash':
         return _small_seq_attention(q, k, v, heads)
-    qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
     big = sq >= 2048 and sk >= 2048
+    # >=32^2-token self-attention sites (the reference's xformers path,
+    # attention_register.py:66) deliberately stay on XLA: the fused
+    # max-free Pallas kernel (ops/spatial_attention.py) measures 14.5 ms
+    # vs XLA's 13.9 at SD level-0 shapes — see its docstring for the
+    # beat-count analysis of why a monolithic kernel cannot win here.
+    qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
     if impl == 'flash' or use_flash is True:
         from .flash_attention import flash_attention
         out = flash_attention(qh, kh, vh)
