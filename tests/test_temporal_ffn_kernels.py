@@ -119,3 +119,15 @@ def test_feedforward_module_unchanged_params():
     ref = a * nn.gelu(gate, approximate=False) @ w2 + b2
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gelu_fast_accuracy():
+    """gelu_fast (divide/exp-free Horner erf) vs jax.nn.gelu exact:
+    |err| <= 5e-5 in fp32 over the full saturation range."""
+    x = jnp.asarray(np.linspace(-12, 12, 200001).astype(np.float32))
+    ref = jax.nn.gelu(x, approximate=False)
+    out = gmod.gelu_fast(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    # and the A-S gelu_exact stays within its documented bound too
+    out2 = gmod.gelu_exact(x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-6)

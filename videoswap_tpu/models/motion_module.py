@@ -92,10 +92,11 @@ class TemporalTransformer3DModel(nn.Module):
                           dtype=self.dtype, name='norm')(
             x.reshape(b * f, hh, ww, c)).reshape(x.shape)
 
+        import os as _os
         if use_fused:
             from videoswap_tpu.ops.fused_temporal import (
                 _pe_rows, ffn_tail, flatten_tt_params,
-                fused_temporal_transformer)
+                fused_temporal_transformer, fused_temporal_transformer_bfhw)
             params = self.variables['params']
             flat = [jnp.asarray(p, self.dtype) if p.ndim == 2
                     else jnp.asarray(p, jnp.float32)
@@ -104,13 +105,31 @@ class TemporalTransformer3DModel(nn.Module):
             rpt = max(1, 128 // f) * f
             pe_rows = jnp.asarray(_pe_rows(f, c, rpt, self.max_len),
                                   self.dtype)
+            if _os.environ.get('FT_4D'):
+                # frame-major (B, F, HW, C) straight into the kernel with
+                # an in-VMEM (loc, frame) relayout. Measured SLOWER than
+                # the row layout at bench shapes (17.35 vs 17.07 s
+                # headline avg — XLA fuses the host-side transposes more
+                # cheaply than Mosaic's relayout): off by default, kept
+                # for A/B benches via FT_4D=1.
+                x4 = x.reshape(b, f, hh * ww, c).astype(self.dtype)
+                g4 = gn.reshape(b, f, hh * ww, c).astype(self.dtype)
+                out = fused_temporal_transformer_bfhw(
+                    g4, x4, pe_rows, flat, self.heads, f, self.num_layers,
+                    include_ffn)
+                if not include_ffn:
+                    out = ffn_tail(out.reshape(b * f * hh * ww, c),
+                                   x4.reshape(b * f * hh * ww, c),
+                                   params, self.dtype)
+                return out.reshape(b, f, hh, ww, c)
             x2 = x.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww * f, c)
             g2 = gn.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww * f, c)
             out = fused_temporal_transformer(
                 g2.astype(self.dtype), x2.astype(self.dtype), pe_rows,
                 flat, self.heads, f, self.num_layers, include_ffn)
             if not include_ffn:
-                out = ffn_tail(out, x2, params, self.dtype)
+                out = ffn_tail(out, x2.astype(self.dtype), params,
+                               self.dtype)
             return out.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
 
         residual = x

@@ -20,8 +20,9 @@ Techniques (each measured on v5e, see CLAUDE.md):
   as MXU dots against ones/group-indicator matrices — no lane-reduction
   shuffles; softmax normalizes AFTER the value contraction;
 - max-free softmax (logits clipped at 60; inputs are LayerNorm-bounded,
-  exp in fp32); GELU uses the Abramowitz-Stegun erf polynomial (no erf
-  primitive; |err| <= 1.5e-7).
+  exp in fp32); GELU uses the divide/exp-free Horner erf polynomial
+  (geglu_ffn.gelu_fast, |err| <= 4.7e-5 — the A-S 7.1.26 form's divide+exp
+  cost ~1.5 ms/module of serialized VPU time at level-0).
 
 Backward: custom VJP that recomputes the block in plain XLA (the training
 path is remat-bound elsewhere; parity guaranteed by the shared reference
@@ -39,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .geglu_ffn import gelu_exact
+from .geglu_ffn import gelu_fast
 
 NEG_INF = -1e30
 CLIP = 60.0
@@ -79,12 +80,23 @@ N_TAIL_PARAMS = 2
 
 # --------------------------------------------------------------- kernel
 def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
-            n_blocks: int, scale: float, rpt: int, include_ffn: bool):
+            n_blocks: int, scale: float, rpt: int, include_ffn: bool,
+            frame_major: bool = False):
+    import os as _os
+    _ablate = _os.environ.get('FT_ABLATE', '')   # bench-only VPU ablations
     refs = list(args[:-2])
     o_ref, s_scr = args[-2], args[-1]
     c = x_ref.shape[-1]
     d = c // heads
-    rows = x_ref.shape[0]
+    if frame_major:
+        # blocks are (1, f, P, c) slabs straight out of the model's natural
+        # (B, F, HW, C) layout; transpose to (loc, frame) rows in VMEM —
+        # replaces three full-tensor HBM transposes per module with two
+        # in-register relayouts per block
+        p_loc = x_ref.shape[2]
+        rows = f * p_loc
+    else:
+        rows = x_ref.shape[0]
     n_tiles = rows // rpt
 
     def take(n):
@@ -104,6 +116,8 @@ def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
                                    preferred_element_type=jnp.float32)
 
     def layernorm(h, g, b, eps=1e-6):
+        if 'noln' in _ablate:
+            return h.astype(jnp.float32) * g + b
         h32 = h.astype(jnp.float32)
         mean = rowsum(h32) * (1.0 / c)
         zc = h32 - mean
@@ -114,18 +128,26 @@ def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
         return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    x = x_ref[:]
+    if frame_major:
+        x = x_ref[0]                                     # (f, P, c), kept fm
+        g_in = jnp.swapaxes(g_ref[0], 0, 1).reshape(rows, c)
+    else:
+        x = x_ref[:]
+        g_in = g_ref[:]
     x32 = x.astype(jnp.float32)
 
     win, bin_ = take(2)
-    h = dot(g_ref[:], win[:]) + bin_[:]                  # proj_in (fp32)
+    h = dot(g_in, win[:]) + bin_[:]                      # proj_in (fp32)
     pe = jnp.concatenate([pe_ref[:]] * n_tiles, axis=0).astype(jnp.float32)
 
     for _ in range(n_blocks):
         for _j in (0, 1):
             ln_g, ln_b, wq, wk, wv, wo, bo = take(7)
             a_in = (layernorm(h, ln_g[:], ln_b[:]) + pe).astype(x.dtype)
-            q = dot(a_in, wq[:]).astype(x.dtype)
+            # fold the softmax scale into q: one (rows, c) multiply here
+            # replaces a multiply over the whole (rpt, tiles*heads*rpt)
+            # logit scratch in the exp pass below
+            q = (dot(a_in, wq[:]) * scale).astype(x.dtype)
             k = dot(a_in, wk[:]).astype(x.dtype)
             v = dot(a_in, wv[:]).astype(x.dtype)
             kT = jnp.swapaxes(k, 0, 1)
@@ -137,8 +159,10 @@ def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
                     s_scr[:, col:col + rpt] = jax.lax.dot_general(
                         q[sl, lane], kT[lane, sl], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-            s_scr[:] = jnp.exp(jnp.minimum(s_scr[:] * scale + big_bias,
-                                           CLIP))
+            if 'noexp' in _ablate:
+                s_scr[:] = jnp.maximum(s_scr[:] + big_bias, 0.0)
+            else:
+                s_scr[:] = jnp.exp(jnp.minimum(s_scr[:] + big_bias, CLIP))
             attn_rows = []
             for t in range(n_tiles):
                 sl = slice(t * rpt, (t + 1) * rpt)
@@ -164,20 +188,38 @@ def _kernel(g_ref, x_ref, pe_ref, *args, heads: int, f: int,
             ln = layernorm(h, fn_g[:], fn_b[:]).astype(x.dtype)
             hh_ = dot(ln, w1[:]) + b1[:]
             mid = hh_.shape[-1] // 2
-            g = hh_[:, :mid] * gelu_exact(hh_[:, mid:])
+            if 'nogelu' in _ablate:
+                g = hh_[:, :mid] * jnp.maximum(hh_[:, mid:], 0.0)
+            else:
+                g = hh_[:, :mid] * gelu_fast(hh_[:, mid:])
             h = h + dot(g.astype(x.dtype), w2[:]) + b2[:]
 
     if include_ffn:
         wout, bout = take(2)
         out = dot(h.astype(x.dtype), wout[:]) + bout[:]
-        o_ref[:] = (x32 + out).astype(o_ref.dtype)
+        if frame_major:
+            out_fm = jnp.swapaxes(out.reshape(p_loc, f, c), 0, 1)
+            o_ref[0] = (x32 + out_fm).astype(o_ref.dtype)
+        else:
+            o_ref[:] = (x32 + out).astype(o_ref.dtype)
     else:
         # FFN + proj_out run outside (weights would not fit VMEM at
         # C>=640); emit h for the XLA/geglu continuation
-        o_ref[:] = h.astype(o_ref.dtype)
+        if frame_major:
+            o_ref[0] = jnp.swapaxes(
+                h.reshape(p_loc, f, c), 0, 1).astype(o_ref.dtype)
+        else:
+            o_ref[:] = h.astype(o_ref.dtype)
 
 
 # --------------------------------------------------------- host wrapper
+def _block_rows(c: int, itemsize: int, rpt: int) -> int:
+    """Rows per grid step: VMEM-budgeted, always a multiple of the rpt
+    attention tile (a non-multiple would leave tail rows unattended)."""
+    budget = (3 << 20) // (8 * c * itemsize)
+    return max(rpt, min(512, budget) // rpt * rpt)
+
+
 def _pe_rows(f: int, c: int, rpt: int, max_len: int) -> np.ndarray:
     from videoswap_tpu.models.motion_module import sinusoidal_position_table
     pe = sinusoidal_position_table(max_len, c)[:f]       # (f, c)
@@ -189,9 +231,7 @@ def _forward(g2, x2, pe_rows, flat_params, *, heads, f, n_blocks,
     n, c = x2.shape
     d = c // heads
     rpt = max(1, 128 // f) * f
-    itemsize = x2.dtype.itemsize
-    budget = (3 << 20) // (8 * c * itemsize)
-    block_rows = min(256, max(rpt, budget // rpt * rpt))
+    block_rows = _block_rows(c, x2.dtype.itemsize, rpt)
     npad = (n + block_rows - 1) // block_rows * block_rows
     if npad != n:
         g2 = jnp.pad(g2, ((0, npad - n), (0, 0)))
@@ -217,6 +257,96 @@ def _forward(g2, x2, pe_rows, flat_params, *, heads, f, n_blocks,
         interpret=interpret,
     )(g2, x2, pe_rows, *flat_params)
     return out[:n]
+
+
+def _forward_4d(g4, x4, pe_rows, flat_params, *, heads, f, n_blocks,
+                include_ffn=True, interpret=False):
+    """Frame-major entry: g4/x4 are (B, F, HW, C) — the model's natural
+    layout. Blocks DMA (1, F, P, C) slabs; the (loc, frame) row order the
+    attention tiling needs is produced by an in-VMEM relayout instead of
+    XLA-side HBM transposes of the whole tensor."""
+    b, fdim, hw, c = x4.shape
+    assert fdim == f
+    d = c // heads
+    rpt = max(1, 128 // f) * f
+    block_rows = _block_rows(c, x4.dtype.itemsize, rpt)
+    p_loc = block_rows // f
+    hwp = (hw + p_loc - 1) // p_loc * p_loc
+    if hwp != hw:
+        g4 = jnp.pad(g4, ((0, 0), (0, 0), (0, hwp - hw), (0, 0)))
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, hwp - hw), (0, 0)))
+    n_tiles = block_rows // rpt
+
+    w_specs = [pl.BlockSpec(p.shape, lambda i, j, nd=p.ndim: (0,) * nd)
+               for p in flat_params]
+    out = pl.pallas_call(
+        functools.partial(_kernel, heads=heads, f=f, n_blocks=n_blocks,
+                          scale=d ** -0.5, rpt=rpt,
+                          include_ffn=include_ffn, frame_major=True),
+        grid=(b, hwp // p_loc),
+        in_specs=[pl.BlockSpec((1, f, p_loc, c), lambda i, j: (i, 0, j, 0)),
+                  pl.BlockSpec((1, f, p_loc, c), lambda i, j: (i, 0, j, 0)),
+                  pl.BlockSpec(pe_rows.shape, lambda i, j: (0, 0))] + w_specs,
+        out_specs=pl.BlockSpec((1, f, p_loc, c), lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, f, hwp, c), x4.dtype),
+        scratch_shapes=[pltpu.VMEM((rpt, n_tiles * heads * rpt),
+                                   jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel')),
+        interpret=interpret,
+    )(g4, x4, pe_rows, *flat_params)
+    return out[:, :, :hw]
+
+
+def _rows_of(a4):
+    b, f, hw, c = a4.shape
+    return a4.transpose(0, 2, 1, 3).reshape(b * hw * f, c)
+
+
+def _unrows(a2, b, f, hw):
+    c = a2.shape[-1]
+    return a2.reshape(b, hw, f, c).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_temporal_transformer_bfhw(g4, x4, pe_rows, flat_params,
+                                    heads: int, f: int, n_blocks: int,
+                                    include_ffn: bool = True):
+    """Frame-major fused temporal transformer: g4 (per-frame-GroupNormed)
+    and x4 (residual) in the model's natural (B, F, HW, C) layout — no
+    host-side transposes. Returns (B, F, HW, C)."""
+    if jax.default_backend() != 'tpu':
+        b, f_, hw, c = x4.shape
+        out2 = _xla_reference(_rows_of(g4), _rows_of(x4), pe_rows,
+                              flat_params, heads, f, n_blocks, include_ffn)
+        return _unrows(out2, b, f, hw)
+    return _forward_4d(g4, x4, jnp.asarray(pe_rows, x4.dtype),
+                       list(flat_params), heads=heads, f=f,
+                       n_blocks=n_blocks, include_ffn=include_ffn)
+
+
+def _fwd_bfhw(g4, x4, pe_rows, flat_params, heads, f, n_blocks,
+              include_ffn):
+    out = fused_temporal_transformer_bfhw(g4, x4, pe_rows, flat_params,
+                                          heads, f, n_blocks, include_ffn)
+    return out, (g4, x4, pe_rows, flat_params)
+
+
+def _bwd_bfhw(heads, f, n_blocks, include_ffn, res, g):
+    g4, x4, pe_rows, flat_params = res
+    b, f_, hw, c = x4.shape
+
+    def ref(g4, x4, fp):
+        return _unrows(_xla_reference(_rows_of(g4), _rows_of(x4), pe_rows,
+                                      fp, heads, f, n_blocks, include_ffn),
+                       b, f, hw)
+
+    _, vjp = jax.vjp(ref, g4, x4, tuple(flat_params))
+    dg, dx, dfp = vjp(g)
+    return dg, dx, None, list(dfp)
+
+
+fused_temporal_transformer_bfhw.defvjp(_fwd_bfhw, _bwd_bfhw)
 
 
 def _xla_reference(g2, x2, pe_rows, flat_params, heads, f, n_blocks,
@@ -260,8 +390,8 @@ def _xla_reference(g2, x2, pe_rows, flat_params, heads, f, n_blocks,
             l_ = ln(h, fn_g, fn_b).astype(x2.dtype)
             hh_ = l_ @ w1 + b1
             a, gate = jnp.split(hh_, 2, axis=-1)
-            g = a * jax.nn.gelu(gate.astype(jnp.float32),
-                                approximate=False)
+            from .geglu_ffn import gelu_fast as _gf
+            g = a * _gf(gate.astype(jnp.float32))
             h = h + g.astype(x2.dtype) @ w2 + b2
 
     if not include_ffn:
