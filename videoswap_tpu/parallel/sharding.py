@@ -63,3 +63,27 @@ def shard_batch(batch: dict, mesh) -> dict:
             s = NamedSharding(mesh, P())
         out[k] = jax.device_put(v, s)
     return out
+
+
+def shard_pipeline(pipe, mesh):
+    """One-liner sharded inference: returns a NEW VideoSwapPipeline whose
+    U-Net params are Megatron tp-sharded and whose VAE/text-encoder/adapter
+    params are replicated over `mesh`. Latents handed to `pipe.sample`
+    should carry `batch_sharding(mesh, ...)` (or be host arrays — GSPMD
+    propagates from the params). The DP analogue of the reference's
+    accelerate-prepared inference (reference train.py:135, test.py:28)."""
+    import dataclasses
+
+    sharded = {}
+    for name, tree in pipe.params.items():
+        if name == 'unet':
+            sharded[name] = shard_params(tree, mesh)
+        else:
+            sharded[name] = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+    if dataclasses.is_dataclass(pipe):
+        return dataclasses.replace(pipe, params=sharded)
+    import copy
+    clone = copy.copy(pipe)
+    clone.params = sharded
+    return clone
