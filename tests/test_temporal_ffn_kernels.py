@@ -131,3 +131,33 @@ def test_gelu_fast_accuracy():
     # and the A-S gelu_exact stays within its documented bound too
     out2 = gmod.gelu_exact(x)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-6)
+
+
+def test_geglu_ffn_bf16_grads():
+    """bf16 training path: gelu_fast and the VJP must be dtype-preserving
+    (a float32 Horner seed once promoted the fallback output to fp32 and
+    broke the custom-VJP cotangent contract at 512^2 training shapes)."""
+    n, c = 64, 32
+    rs = np.random.RandomState(4)
+    args = [jnp.asarray(a.astype(np.float32), jnp.bfloat16) for a in (
+        rs.randn(n, c) * 0.5, rs.randn(c, 8 * c) * 0.05,
+        rs.randn(8 * c) * 0.01, rs.randn(4 * c, c) * 0.05,
+        rs.randn(c) * 0.01)]
+    out = gmod.geglu_ffn(*args)
+    assert out.dtype == jnp.bfloat16
+    assert gmod.gelu_fast(args[0]).dtype == jnp.bfloat16
+
+    g = jax.grad(lambda *a: (gmod.geglu_ffn(*a).astype(jnp.float32) ** 2)
+                 .sum(), argnums=tuple(range(5)))(*args)
+    for a, arg in zip(g, args):
+        assert a.dtype == arg.dtype
+        assert np.isfinite(np.asarray(a, np.float32)).all()
+
+    # fp32-bias call pattern (ffn_tail's): output still follows x2
+    args_fb = list(args)
+    args_fb[2] = args[2].astype(jnp.float32)
+    args_fb[4] = args[4].astype(jnp.float32)
+    out2 = gmod.geglu_ffn(*args_fb)
+    assert out2.dtype == jnp.bfloat16
+    jax.grad(lambda *a: (gmod.geglu_ffn(*a).astype(jnp.float32) ** 2).sum(),
+             argnums=(0,))(*args_fb)

@@ -54,6 +54,9 @@ _ERF_HORNER = (1.4207271411, -8.8140112788, 24.913610011, -43.054002726,
 
 
 def _erf_fast(u):
+    # fp32 internally regardless of input dtype: the Horner coefficients
+    # reach ~52 with heavy cancellation — bf16 evaluation would be garbage
+    u = u.astype(jnp.float32)
     s = jnp.minimum(u * u * (1.0 / 9.0), 1.0)
     q = jnp.float32(_ERF_HORNER[0])
     for c in _ERF_HORNER[1:]:
@@ -62,8 +65,11 @@ def _erf_fast(u):
 
 
 def gelu_fast(x):
-    """Division/exp-free exact-form GELU (|err| <= 4.7e-5 in fp32)."""
-    return 0.5 * x * (1.0 + _erf_fast(x * (2.0 ** -0.5)))
+    """Division/exp-free exact-form GELU (|err| <= 4.7e-5; fp32 internal,
+    result in the INPUT dtype — dtype-preserving like jax.nn.gelu, which
+    the custom-VJP dtype contracts rely on)."""
+    out = 0.5 * x.astype(jnp.float32) * (1.0 + _erf_fast(x * (2.0 ** -0.5)))
+    return out.astype(x.dtype)
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
@@ -81,10 +87,13 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 
 def _xla_reference(x2, w1, b1, w2, b2):
     # same gelu_fast as the kernel: fallback/VJP parity is then exact;
-    # gelu_fast itself is tested against jax.nn.gelu (<= 4.7e-5)
+    # gelu_fast itself is tested against jax.nn.gelu (<= 4.7e-5).
+    # Output dtype pinned to x2.dtype like the kernel's out_shape — the
+    # custom-VJP cotangent contract needs fallback == kernel dtypes even
+    # when fp32 biases promote the intermediate.
     h = (x2 @ w1 + b1)
     a, gate = jnp.split(h, 2, axis=-1)
-    return (a * gelu_fast(gate)) @ w2 + b2
+    return ((a * gelu_fast(gate)) @ w2 + b2).astype(x2.dtype)
 
 
 def _forward(x2, w1, b1, w2, b2, interpret: bool = False):
