@@ -29,6 +29,10 @@ def _per_frame_gn(x, tt_params, groups):
     (4, 32, 4, 8),
     (2, 32, 4, 8),
     (8, 64, 8, 8),
+    # f=24 (the temporal_position_encoding_max_len): rpt=120 does not
+    # divide 512, exercising the block_rows-multiple-of-rpt fix (tail
+    # rows were silently unattended before)
+    (24, 48, 4, 8),
 ])
 def test_fused_temporal_matches_module(f, c, heads, groups):
     b, hw = 2, 4

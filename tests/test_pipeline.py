@@ -183,3 +183,55 @@ def test_invert_loop_modes_equivalent(pipe):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(per_s['latents']),
                                np.asarray(per_p['latents']), atol=1e-5)
+
+
+def test_trainer_step_bf16_models():
+    """Production-dtype training: bf16 models end-to-end through the
+    donated train step (guards custom-VJP dtype contracts — a gelu dtype
+    promotion once broke exactly this at full size)."""
+    dt = jnp.bfloat16
+    unet = AnimateDiffUNet3DModel(cfg=UNet3DConfig(
+        block_out_channels=(16, 32, 32, 32), attention_head_dim=4,
+        cross_attention_dim=24, norm_num_groups=8, motion_heads=4),
+        dtype=dt)
+    vae = AutoencoderKL(block_out_channels=(8, 8, 16, 16), norm_groups=8,
+                        dtype=dt)
+    text_encoder = CLIPTextModel(cfg=CLIPTextConfig(
+        vocab_size=49408, hidden_size=24, num_layers=1, num_heads=4,
+        intermediate_size=32), dtype=dt)
+    adapter = SparsePointAdapter(cfg=AdapterConfig(
+        embedding_channels=12, channels=(16, 32, 32, 32), mid_dim=8),
+        dtype=dt)
+    k = jax.random.PRNGKey(0)
+    f, h, w = 2, 64, 64
+    params = {
+        'unet': jax.jit(unet.init)(k, jnp.zeros((1, f, 8, 8, 4), dt),
+                                   jnp.array([0]), jnp.zeros((1, 77, 24),
+                                                             dt)),
+        'vae': jax.jit(vae.init)(k, jnp.zeros((1, h, w, 3), dt)),
+        'text_encoder': jax.jit(text_encoder.init)(
+            k, jnp.zeros((1, 77), jnp.int32)),
+        'adapter': jax.jit(lambda k, t, e: adapter.init(k, t, (w, h), e))(
+            k, jnp.zeros((f, 2, 2)), jnp.zeros((2, 12), dt)),
+    }
+    trainer = VideoSwapTrainer(
+        unet=unet, vae=vae, text_encoder=text_encoder,
+        tokenizer=HashTokenizer(), sched=make_schedule(), adapter=adapter,
+        params={n: params[n] for n in ('unet', 'vae', 'text_encoder')},
+        tune_cfg={'drop_rate': 0.2, 'min_timestep': 0.5,
+                  'loss_type': 'global'},
+        optimizer_cfg={'lr': 1e-3})
+    batch = {
+        'pixels': jnp.asarray(np.random.RandomState(0).rand(
+            1, f, h, w, 3).astype(np.float32) * 2 - 1),
+        'input_ids': jnp.zeros((1, 77), jnp.int32),
+        'pred_tracks': jnp.asarray([[[10.0, 12.0], [30.0, 40.0]],
+                                    [[12.0, 14.0], [28.0, 38.0]]]),
+        'point_embedding': jnp.asarray(np.random.RandomState(1).randn(
+            2, 12).astype(np.float32)),
+    }
+    adapter_params = params['adapter']['params']
+    opt_state = trainer.init_state(adapter_params)
+    adapter_params, opt_state, loss = trainer.step(
+        adapter_params, opt_state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
