@@ -70,6 +70,24 @@ def main():
     print(f'train-step {ms:8.1f} ms  (100-iter adapter train ~'
           f'{ms / 10:.1f}s)  loss={loss:.4f}', flush=True)
 
+    # cached-moments path (train.py cache_vae_latents, byte-identical math)
+    from videoswap_tpu.models.vae import AutoencoderKL
+    mean, logvar = jax.jit(lambda p, x: pipe.vae.apply(
+        p, x, method=AutoencoderKL.encode_video_moments))(
+        pipe.params['vae'], batch.pop('pixels'))
+    batch['latent_mean'], batch['latent_logvar'] = mean, logvar
+    adapter_params, opt_state, loss = trainer.step(
+        adapter_params, opt_state, batch, jax.random.PRNGKey(99))
+    float(loss)
+    t0 = time.time()
+    for i in range(n):
+        adapter_params, opt_state, loss = trainer.step(
+            adapter_params, opt_state, batch, jax.random.PRNGKey(100 + i))
+    loss = float(loss)
+    ms = (time.time() - t0) / n * 1e3
+    print(f'train-step (cached VAE moments) {ms:8.1f} ms  '
+          f'loss={loss:.4f}', flush=True)
+
 
 if __name__ == '__main__':
     main()

@@ -235,3 +235,39 @@ def test_trainer_step_bf16_models():
     adapter_params, opt_state, loss = trainer.step(
         adapter_params, opt_state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_trainer_cached_moments_matches_pixels(pipe):
+    """latent_mean/latent_logvar batches (train.py's cache_vae_latents)
+    produce the same loss as encoding pixels in-step: the cached-moments
+    path must be byte-identical math, not an approximation."""
+    from videoswap_tpu.models.vae import AutoencoderKL
+    trainer = VideoSwapTrainer(
+        unet=pipe.unet, vae=pipe.vae, text_encoder=pipe.text_encoder,
+        tokenizer=pipe.tokenizer, sched=pipe.sched, adapter=pipe.adapter,
+        params={k: v for k, v in pipe.params.items() if k != 'adapter'},
+        tune_cfg={'drop_rate': 0.0, 'min_timestep': 0.5,
+                  'loss_type': 'global'},
+        optimizer_cfg={'lr': 1e-3})
+    pixels = jnp.asarray(np.random.RandomState(7).rand(
+        1, 2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    common = {
+        'input_ids': jnp.asarray(pipe.encode_prompt_ids(['a cat'])),
+        'pred_tracks': jnp.asarray([[[10.0, 12.0], [30.0, 40.0]],
+                                    [[12.0, 14.0], [28.0, 38.0]]]),
+        'point_embedding': jnp.asarray(np.random.RandomState(8).randn(
+            2, 12).astype(np.float32)),
+    }
+    loss_fn = trainer.build_loss_fn()
+    frozen = {k: v for k, v in pipe.params.items() if k != 'adapter'}
+    rng = jax.random.PRNGKey(5)
+
+    l_pix = loss_fn(pipe.params['adapter']['params'], frozen,
+                    {**common, 'pixels': pixels}, rng)
+    mean, logvar = pipe.vae.apply(
+        pipe.params['vae'], pixels,
+        method=AutoencoderKL.encode_video_moments)
+    l_mom = loss_fn(pipe.params['adapter']['params'], frozen,
+                    {**common, 'latent_mean': mean,
+                     'latent_logvar': logvar}, rng)
+    np.testing.assert_allclose(float(l_pix), float(l_mom), rtol=1e-6)

@@ -91,6 +91,17 @@ def train(root_path: str, args) -> None:
         'pred_tracks': jnp.asarray(batch0['pred_tracks']),
         'point_embedding': jnp.asarray(batch0['point_embedding']),
     }
+    if train_opt.get('cache_vae_latents', True):
+        # the dataset replays ONE cached video, so the deterministic VAE
+        # encoder pass is loop-invariant: encode the posterior moments
+        # once and let the train step draw fresh samples from them —
+        # byte-identical to re-encoding, minus ~20% step time
+        from videoswap_tpu.models.vae import AutoencoderKL
+        mean, logvar = jax.jit(lambda p, x: models['vae'].apply(
+            p, x, method=AutoencoderKL.encode_video_moments))(
+            models['params']['vae'], batch.pop('pixels'))
+        batch['latent_mean'], batch['latent_logvar'] = mean, logvar
+        logger.info('cached VAE posterior moments (single-video loop)')
     yielder = infinite_batches(dataset)
 
     logger_msg = MessageLogger(opt, global_step)

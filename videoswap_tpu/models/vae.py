@@ -176,6 +176,25 @@ class AutoencoderKL(nn.Module):
         z = self.encode(video.reshape(b * f, *video.shape[2:]), rng)
         return z.reshape(b, f, *z.shape[1:])
 
+    def encode_video_moments(self, video):
+        """(B, F, H, W, 3) -> posterior (mean, logvar), each
+        (B, F, H/8, W/8, 4), UNSCALED. Lets a single-video train loop
+        encode once and draw fresh posterior samples per step
+        (`sample_video_from_moments`) — identical math to re-encoding."""
+        b, f = video.shape[:2]
+        mean, logvar = self.encode_moments(
+            video.reshape(b * f, *video.shape[2:]))
+        return (mean.reshape(b, f, *mean.shape[1:]),
+                logvar.reshape(b, f, *logvar.shape[1:]))
+
+    def sample_video_from_moments(self, mean, logvar, rng):
+        """Draw the scaled posterior sample `encode_video` would produce
+        from cached moments."""
+        flat = mean.reshape(-1, *mean.shape[2:])
+        eps = jax.random.normal(rng, flat.shape, dtype=flat.dtype)
+        z = (flat + jnp.exp(0.5 * logvar.reshape(flat.shape)) * eps)
+        return (z * self.scaling_factor).reshape(mean.shape)
+
     def decode_video(self, latents):
         b, f = latents.shape[:2]
         x = self.decode(latents.reshape(b * f, *latents.shape[2:]))

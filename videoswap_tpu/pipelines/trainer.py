@@ -94,16 +94,26 @@ class VideoSwapTrainer:
         sched = self.sched
 
         def loss_fn(adapter_params, frozen, batch, rng):
-            pixels = batch['pixels']            # (B, F, H, W, 3) in [-1, 1]
             input_ids = batch['input_ids']      # (B, 77)
             tracks = batch['pred_tracks']       # (F, P, 2)
             emb = batch['point_embedding']      # (P, E)
-            size = (pixels.shape[3], pixels.shape[2])   # (W, H)
 
             k_vae, k_t, k_noise, k_drop = jax.random.split(rng, 4)
-            latents = self.vae.apply(frozen['vae'], pixels,
-                                     method=AutoencoderKL.encode_video,
-                                     rng=k_vae)
+            if 'latent_mean' in batch:
+                # single-video loops encode once and replay the cached
+                # posterior moments — the fresh k_vae draw makes this
+                # byte-identical to re-encoding every step
+                mean, logvar = batch['latent_mean'], batch['latent_logvar']
+                size = (mean.shape[3] * 8, mean.shape[2] * 8)   # (W, H)
+                latents = self.vae.apply(
+                    frozen['vae'], mean, logvar, k_vae,
+                    method=AutoencoderKL.sample_video_from_moments)
+            else:
+                pixels = batch['pixels']        # (B, F, H, W, 3) in [-1, 1]
+                size = (pixels.shape[3], pixels.shape[2])       # (W, H)
+                latents = self.vae.apply(frozen['vae'], pixels,
+                                         method=AutoencoderKL.encode_video,
+                                         rng=k_vae)
             t = sample_biased_timestep(k_t, min_t, sched.num_train_timesteps)
             noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
             noisy = add_noise(sched, latents, noise, t)
