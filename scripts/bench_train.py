@@ -37,7 +37,9 @@ def main():
         tokenizer=pipe.tokenizer, sched=pipe.sched, adapter=pipe.adapter,
         params={n: pipe.params[n] for n in ('unet', 'vae', 'text_encoder')},
         tune_cfg={'drop_rate': 0.2, 'min_timestep': 0.5,
-                  'loss_type': 'global'},
+                  'loss_type': 'global',
+                  'attn_impl': os.environ.get('TRAIN_ATTN_IMPL',
+                                              'chunked')},
         optimizer_cfg={'lr': 1e-5})
 
     rs = np.random.RandomState(0)

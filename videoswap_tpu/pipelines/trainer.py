@@ -70,14 +70,17 @@ class VideoSwapTrainer:
                              tx)
         self.tx = tx
         self._step_fn = None
-        # training uses chunked attention + gradient checkpointing: memory-
-        # bounded, differentiable, and faster than the Pallas flash kernel
-        # at SD's head_dim 40 (ops/attention.py routing ablation). The flash
-        # kernel does have a tested custom VJP (ops/flash_attention.py) and
-        # is picked up automatically via attn_impl='auto' for head_dim>=128
-        # shapes; this model family never hits that regime in training.
-        self.unet = self.unet.clone(attn_impl='chunked',
-                                    gradient_checkpointing=True)
+        # training defaults to chunked attention + gradient checkpointing:
+        # memory-bounded, differentiable, and faster than the Pallas flash
+        # kernel at SD's head_dim 40 (ops/attention.py routing ablation).
+        # 'auto' (XLA-fused under remat) OOMs at production shapes: 19.7 G
+        # HBM needed vs 15.75 G on v5e (512^2 x 16f bench_train ablation).
+        # The flash kernel does have a tested custom VJP
+        # (ops/flash_attention.py); tune_cfg 'attn_impl' overrides for
+        # ablation ('auto', 'flash', 'xla').
+        self.unet = self.unet.clone(
+            attn_impl=self.tune_cfg.get('attn_impl', 'chunked'),
+            gradient_checkpointing=True)
 
     def init_state(self, adapter_params):
         return self.tx.init(adapter_params)
