@@ -49,6 +49,15 @@ def unet_config_from_opt(model_opt: dict, root_path: str,
             motion_num_transformer_block=mk.get('num_transformer_block', 1),
             motion_max_len=mk.get('temporal_position_encoding_max_len', 24),
         )
+        # long-video extension: the reference plumbs long_video_config into
+        # every motion module but never consumes it (reference
+        # motion_module.py:60,73,106,131 — dead hook). Here it enables
+        # sliding-window temporal attention for videos longer than max_len.
+        lv = mk.get('long_video_config') or {}
+        if lv.get('window'):
+            kwargs.update(motion_window=int(lv['window']),
+                          motion_window_stride=int(lv['stride'])
+                          if lv.get('stride') else None)
     # diffusers config.json (block sizes etc.) from the pretrained dir
     cfg_json = (os.path.join(pretrained_path, 'unet', 'config.json')
                 if pretrained_path else None)

@@ -26,6 +26,18 @@ import numpy as np
 from .layers import Attention, FeedForward
 
 
+def window_index(f: int, window: int, stride: int) -> np.ndarray:
+    """Static [n_windows, window] frame indices for sliding-window temporal
+    attention: stride-spaced starts plus a final window flush to the end so
+    every frame is covered. All shapes are trace-time constants."""
+    assert window <= f and stride >= 1
+    starts = list(range(0, f - window + 1, stride))
+    if starts[-1] != f - window:
+        starts.append(f - window)
+    return np.asarray([[s + j for j in range(window)] for s in starts],
+                      dtype=np.int32)
+
+
 def sinusoidal_position_table(max_len: int, d_model: int) -> np.ndarray:
     """pe[p, 2i] = sin(p / 10000^(2i/d)), pe[p, 2i+1] = cos(...)."""
     position = np.arange(max_len, dtype=np.float64)[:, None]
@@ -42,20 +54,48 @@ class TemporalTransformerBlock(nn.Module):
     heads: int
     max_len: int = 24
     num_attention_blocks: int = 2
+    window: int | None = None     # long-video sliding-window attention
+    stride: int | None = None     # window start spacing (default window//2)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: [(B*D), F, C] — attention across frames per spatial location
-        f = x.shape[1]
+        b, f, c = x.shape
+        windowed = self.window is not None and f > self.window
+        w = self.window if windowed else f
+        assert w <= self.max_len, (
+            f'temporal sequence {w} exceeds positional-encoding max_len '
+            f'{self.max_len}; set a motion window (long_video_cfg) for '
+            f'videos longer than {self.max_len} frames')
         pe = jnp.asarray(sinusoidal_position_table(self.max_len, self.dim),
-                         dtype=x.dtype)[:f]
+                         dtype=x.dtype)[:w]
+        if windowed:
+            # Long-video extension (the reference's dormant long_video_config
+            # hook, motion_module.py:60,73,106,131): overlapping windows of
+            # `w` frames, each attended in full with PE[0:w] (pretrained
+            # motion weights stay in-distribution), outputs averaged over
+            # overlaps. Indices are trace-time constants — the gather/
+            # scatter compiles to static slices, and under frame(sp)
+            # sharding GSPMD inserts the halo collectives.
+            idx = window_index(f, w, self.stride or max(1, w // 2))
+            nwin = idx.shape[0]
+            counts = np.zeros((f,), np.float32)
+            np.add.at(counts, idx.reshape(-1), 1.0)
+            inv_counts = jnp.asarray(1.0 / counts, x.dtype)[None, :, None]
         for i in range(self.num_attention_blocks):
+            attn = Attention(query_dim=self.dim, heads=self.heads,
+                             dim_head=self.dim // self.heads,
+                             dtype=self.dtype,
+                             name=f'attention_blocks_{i}')
             h = nn.LayerNorm(dtype=self.dtype, name=f'norms_{i}')(x)
-            h = h + pe[None]
-            h = Attention(query_dim=self.dim, heads=self.heads,
-                          dim_head=self.dim // self.heads, dtype=self.dtype,
-                          name=f'attention_blocks_{i}')(h, use_flash=False)
+            if windowed:
+                hw = h[:, idx.reshape(-1)].reshape(b * nwin, w, c)
+                a = attn(hw + pe[None], use_flash=False)
+                h = jnp.zeros_like(h).at[:, idx.reshape(-1)].add(
+                    a.reshape(b, nwin * w, c)) * inv_counts
+            else:
+                h = attn(h + pe[None], use_flash=False)
             x = h + x
         h = nn.LayerNorm(dtype=self.dtype, name='ff_norm')(x)
         return FeedForward(self.dim, dtype=self.dtype, name='ff')(h) + x
@@ -66,6 +106,8 @@ class TemporalTransformer3DModel(nn.Module):
     num_layers: int
     max_len: int = 24
     norm_groups: int = 32
+    window: int | None = None
+    stride: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -84,6 +126,8 @@ class TemporalTransformer3DModel(nn.Module):
         include_ffn = c <= 320
         use_fused = (_jax.default_backend() == 'tpu' and c <= 640
                      and f <= 128 and self.num_layers == 1
+                     and f <= self.max_len
+                     and (self.window is None or f <= self.window)
                      and not self.is_initializing())
         # per-FRAME GroupNorm stats: the reference normalizes the
         # '(b f) c h w' layout (motion_module.py:112, after the rearrange
@@ -139,6 +183,7 @@ class TemporalTransformer3DModel(nn.Module):
         for i in range(self.num_layers):
             h = TemporalTransformerBlock(
                 dim=c, heads=self.heads, max_len=self.max_len,
+                window=self.window, stride=self.stride,
                 dtype=self.dtype, name=f'transformer_blocks_{i}')(h)
         h = h.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
         # zero-init proj_out: the module starts as identity (reference
@@ -153,6 +198,8 @@ class VanillaTemporalModule(nn.Module):
     num_transformer_block: int = 1
     max_len: int = 24
     norm_groups: int = 32
+    window: int | None = None
+    stride: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -160,5 +207,6 @@ class VanillaTemporalModule(nn.Module):
         return TemporalTransformer3DModel(
             heads=self.heads, num_layers=self.num_transformer_block,
             max_len=self.max_len, norm_groups=self.norm_groups,
+            window=self.window, stride=self.stride,
             dtype=self.dtype,
             name='temporal_transformer')(x)

@@ -49,6 +49,11 @@ class UNet3DConfig(NamedTuple):
     motion_heads: int = 8
     motion_num_transformer_block: int = 1
     motion_max_len: int = 24
+    # long-video extension: sliding-window temporal attention for videos
+    # longer than motion_max_len frames (the reference's dormant
+    # long_video_config hook, motion_module.py:60). None = full attention.
+    motion_window: Optional[int] = None
+    motion_window_stride: Optional[int] = None
 
     @property
     def num_cross_layers_per_down_block(self) -> int:
@@ -96,6 +101,8 @@ class CrossAttnDownBlock3D(nn.Module):
                     heads=self.cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
                     max_len=cfg.motion_max_len,
+                    window=cfg.motion_window,
+                    stride=cfg.motion_window_stride,
                     norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
             if i == n - 1 and adapter_residual is not None:
@@ -130,6 +137,8 @@ class DownBlock3D(nn.Module):
                     heads=cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
                     max_len=cfg.motion_max_len,
+                    window=cfg.motion_window,
+                    stride=cfg.motion_window_stride,
                     norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
             skips.append(x)
@@ -174,6 +183,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 heads=cfg.motion_heads,
                 num_transformer_block=cfg.motion_num_transformer_block,
                 max_len=cfg.motion_max_len,
+                window=cfg.motion_window,
+                stride=cfg.motion_window_stride,
                 norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                 name='motion_modules_0')(x)
         x = Res(out_channels=ch, eps=cfg.norm_eps, groups=cfg.norm_num_groups,
@@ -219,6 +230,8 @@ class CrossAttnUpBlock3D(nn.Module):
                     heads=cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
                     max_len=cfg.motion_max_len,
+                    window=cfg.motion_window,
+                    stride=cfg.motion_window_stride,
                     norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
         if self.add_upsample:
@@ -249,6 +262,8 @@ class UpBlock3D(nn.Module):
                     heads=cfg.motion_heads,
                     num_transformer_block=cfg.motion_num_transformer_block,
                     max_len=cfg.motion_max_len,
+                    window=cfg.motion_window,
+                    stride=cfg.motion_window_stride,
                     norm_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f'motion_modules_{i}')(x)
         if self.add_upsample:
