@@ -35,6 +35,27 @@ def select_frame_idx(begin: int, end: int, n: int) -> list[int]:
     return [int(begin + i * interval) for i in range(n)]
 
 
+def _native_chain(transforms: list[dict]):
+    """If the transform chain is the canonical Resize -> [CenterCrop] ->
+    ToTensor -> Normalize pipeline, return kwargs for the fused native
+    (C++) preprocessor; else None (python path)."""
+    kw = {}
+    expect = iter(['Resize', 'CenterCrop', 'ToTensor', 'Normalize'])
+    for t in transforms:
+        for name in expect:
+            if t['type'] == name:
+                break
+        else:
+            return None
+        if t['type'] == 'Resize':
+            kw['resize'] = t['size']
+        elif t['type'] == 'CenterCrop':
+            kw['crop'] = t['size']
+        elif t['type'] == 'Normalize':
+            kw['mean'], kw['std'] = t['mean'], t['std']
+    return kw if ('resize' in kw and 'mean' in kw) else None
+
+
 def load_tap_file(tap_path: str) -> dict:
     import torch
     tap = torch.load(tap_path, map_location='cpu', weights_only=False)
@@ -56,10 +77,21 @@ class SingleVideoPointDataset:
         self.prompt = opt['prompt']
         self.num_video = opt.get('dataset_enlarge_ratio', 1)
 
-        transform = Compose(opt['video_transform'])
-        frames = [transform(Image.open(p).convert('RGB'))
-                  for p in self.video]
-        self.pixels = np.stack(frames).astype(np.float32)  # (F, H, W, 3)
+        from videoswap_tpu import native
+        nkw = _native_chain(opt['video_transform'])
+        if nkw is not None and native.available() \
+                and not opt.get('no_native_loader'):
+            # fused C++ resample+crop+normalize (videoswap_tpu/native):
+            # one pass per frame, float32 accumulation (vs PIL's 8-bit
+            # fixed point — agrees within 1 LSB, tests/test_native.py)
+            raw = [np.asarray(Image.open(p).convert('RGB'), np.uint8)
+                   for p in self.video]
+            self.pixels = native.preprocess_frames(raw, **nkw)
+        else:
+            transform = Compose(opt['video_transform'])
+            frames = [transform(Image.open(p).convert('RGB'))
+                      for p in self.video]
+            self.pixels = np.stack(frames).astype(np.float32)  # (F,H,W,3)
         self.size_y, self.size_x = self.pixels.shape[1:3]
 
         self.condition = (self.get_conditions(opt['tap_path'])
