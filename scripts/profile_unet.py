@@ -57,9 +57,14 @@ def patch(variant):
         import videoswap_tpu.models.layers as lyr
         orig_ffn = lyr.FeedForward.__call__
         lyr.FeedForward.__call__ = lambda self, x: jnp.zeros_like(x)
+        # FeedForward is shared with the motion modules: with it patched
+        # out no 'ff' params exist, so the fused temporal kernel (which
+        # reads raw params) must be routed to the layer-wise path
+        os.environ['FT_DISABLE'] = '1'
 
         def cleanup():
             lyr.FeedForward.__call__ = orig_ffn
+            os.environ.pop('FT_DISABLE', None)
         return cleanup
 
     def cleanup():

@@ -106,3 +106,54 @@ def test_train_then_test_cli(tmp_path):
     assert (res / 'cat2dog').is_dir()
     frame_files = list((res / 'cat2dog').rglob('*.jpg'))
     assert len(frame_files) == 2, f'expected 2 frames, got {frame_files}'
+
+
+def test_long_video_cli(tmp_path):
+    """test.py on a video LONGER than the temporal-PE cap: 8 frames with
+    motion_max_len=4 + a 4-frame window (stride 2) — the long-video
+    sliding-window path, reached purely through the YAML surface."""
+    from scripts.make_smoke_dataset import make
+    data_dir = tmp_path / 'data'
+    make(str(data_dir), frames=8, size=64)
+
+    models = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in TINY_MODELS.items()}
+    models['unet'] = {'unet_cfg': dict(
+        TINY_MODELS['unet']['unet_cfg'], motion_max_len=4,
+        motion_window=4, motion_window_stride=2)}
+    datasets = {
+        'type': 'SingleVideoPointDataset',
+        'path': str(data_dir / 'frames'),
+        'tap_path': str(data_dir / 'TAP.pth'),
+        'prompt': 'a cat walking on a gradient floor',
+        'num_frames': 8, 'total_frames': 8,
+        'video_transform': [
+            {'type': 'Resize', 'size': 64},
+            {'type': 'ToTensor'},
+            {'type': 'Normalize', 'mean': [0.5], 'std': [0.5]},
+        ],
+        'batch_size_per_gpu': 1,
+    }
+    test_cfg = {
+        'name': 'smoke_long', 'manual_seed': 7, 'mixed_precision': 'no',
+        'datasets': datasets, 'models': models, 'path': {},
+        'val': {'save_type': 'frame', 'editing_config': {
+            'use_invertion_latents': True,
+            'use_blend': False,
+            'num_inference_steps': 2,
+            'guidance_scale': 7.5,
+            't2i_guidance_scale': 0.5, 't2i_start': 0.0, 't2i_end': 0.5,
+            'editing_prompts': {
+                'cat2dog': {'replace': 'cat -> dog'},
+            },
+        }},
+    }
+    tcfg_path = tmp_path / 'test_long.yml'
+    _write_cfg(tcfg_path, test_cfg)
+
+    import test as test_mod
+    test_mod.test(str(tmp_path), str(tcfg_path))
+
+    res = tmp_path / 'results' / 'smoke_long' / 'visualization'
+    frame_files = list((res / 'cat2dog').rglob('*.jpg'))
+    assert len(frame_files) == 8, f'expected 8 frames, got {frame_files}'

@@ -123,11 +123,13 @@ class TemporalTransformer3DModel(nn.Module):
         # branch at init and read back via self.variables here (same
         # tree, full autodiff through the custom VJPs).
         import jax as _jax
+        import os as _os_gate
         include_ffn = c <= 320
         use_fused = (_jax.default_backend() == 'tpu' and c <= 640
                      and f <= 128 and self.num_layers == 1
                      and f <= self.max_len
                      and (self.window is None or f <= self.window)
+                     and not _os_gate.environ.get('FT_DISABLE')
                      and not self.is_initializing())
         # per-FRAME GroupNorm stats: the reference normalizes the
         # '(b f) c h w' layout (motion_module.py:112, after the rearrange
