@@ -170,3 +170,8 @@ def test_builders_long_video_cfg(tmp_path):
                                str(tmp_path), None)
     assert cfg.motion_window == 16 and cfg.motion_window_stride == 8
     assert cfg.motion_max_len == 24
+
+
+def test_gapped_stride_rejected():
+    with pytest.raises(AssertionError, match='no\\s+attention window'):
+        window_index(10, 4, 6)
