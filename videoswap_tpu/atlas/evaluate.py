@@ -14,14 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.metrics import psnr
 from . import losses
-
-
-def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
-    if mse == 0:
-        return float('inf')
-    return 10.0 * np.log10(data_range ** 2 / mse)
 
 
 def reconstruct_video(nets, params, res_x: int, res_y: int, num_frames: int,
