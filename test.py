@@ -23,7 +23,54 @@ from videoswap_tpu.utils.logger import (dict2str, get_logger,
 from videoswap_tpu.utils.vis_util import save_video_to_dir
 
 
-def test(root_path: str, opt_path: str) -> None:
+def _to_float_video(frames) -> 'np.ndarray':
+    """PIL list or array video -> (F, H, W, C) float in [0, 1]."""
+    import numpy as np
+    if isinstance(frames, (list, tuple)):
+        arr = np.stack([np.asarray(f, dtype=np.float32) for f in frames])
+        return arr / 255.0
+    arr = np.asarray(frames, dtype=np.float32)
+    if arr.ndim == 5:  # (B, F, H, W, C)
+        arr = arr[0]
+    if arr.min() < -0.01:  # [-1, 1] pixel convention
+        arr = (arr + 1.0) / 2.0
+    elif arr.max() > 1.5:  # uint8 range
+        arr = arr / 255.0
+    return np.clip(arr, 0.0, 1.0)
+
+
+def report_metrics(source_video, results: dict, save_dir: str) -> dict:
+    """Quality diagnostics per edit: PSNR vs the source (background/identity
+    preservation proxy) and temporal consistency (flicker proxy; compare
+    against the source's own value, not in absolute). Logged and written to
+    `metrics.json`. The reference reports no quality numbers at swap time —
+    this is the measurement surface BASELINE.md's quality parity check uses.
+    """
+    import numpy as np
+
+    from videoswap_tpu.utils.metrics import temporal_consistency, video_psnr
+
+    logger = get_logger()
+    src = _to_float_video(source_video)
+    report = {'source': {
+        'temporal_consistency_db': round(temporal_consistency(src), 3)}}
+    for key, frames in results.items():
+        edit = _to_float_video(frames)
+        h, w = edit.shape[1:3]
+        entry = {'temporal_consistency_db':
+                 round(temporal_consistency(edit), 3)}
+        if src.shape[0] == edit.shape[0]:
+            psnr_v = video_psnr(src[:, :h, :w], edit)
+            entry['psnr_vs_source_db'] = (
+                None if np.isinf(psnr_v) else round(psnr_v, 3))
+        report[key] = entry
+        logger.info(f'metrics[{key}]: {entry}')
+    with open(os.path.join(save_dir, 'metrics.json'), 'w') as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+def test(root_path: str, opt_path: str, shard: str | None = None) -> None:
     opt = load_config(opt_path)
     set_path_logger(root_path, opt_path, opt, is_train=False)
     logger = get_logger()
@@ -55,6 +102,23 @@ def test(root_path: str, opt_path: str) -> None:
         from videoswap_tpu.edlora import apply_new_concept_cfg
         apply_new_concept_cfg(pipeline, new_concept_cfg)
 
+    mesh_ctx = None
+    if shard:
+        # multi-chip inference: tp-shard the U-Net params over a
+        # (dp, sp, tp) mesh; GSPMD inserts the collectives
+        import contextlib
+
+        import jax
+
+        from videoswap_tpu.parallel import make_mesh, shard_pipeline
+        shape = tuple(int(x) for x in shard.split(','))
+        assert len(shape) == 3, '--shard expects DP,SP,TP'
+        mesh = make_mesh(shape)
+        mesh_ctx = contextlib.ExitStack()
+        mesh_ctx.enter_context(jax.set_mesh(mesh))
+        pipeline = shard_pipeline(pipeline, mesh)
+        logger.info(f'sharded inference over mesh (dp,sp,tp)={shape}')
+
     source_video = dataset.get_frames()
     source_conditions = dataset.get_conditions()
 
@@ -73,6 +137,9 @@ def test(root_path: str, opt_path: str) -> None:
     for key, frames in results.items():
         save_video_to_dir(frames, os.path.join(save_dir, key),
                           save_suffix=key, save_type=save_type)
+    report_metrics(source_video, results, save_dir)
+    if mesh_ctx is not None:
+        mesh_ctx.close()
     logger.info(f'results saved to {save_dir}')
 
 
@@ -80,5 +147,9 @@ if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('-opt', type=str, required=True,
                         help='Path to option YAML file.')
+    parser.add_argument('--shard', type=str, default=None,
+                        help='Multi-chip inference mesh as "DP,SP,TP" '
+                             '(e.g. --shard 1,1,8 tp-shards the U-Net '
+                             'over 8 chips).')
     args = parser.parse_args()
-    test(os.path.abspath('.'), args.opt)
+    test(os.path.abspath('.'), args.opt, shard=args.shard)

@@ -107,6 +107,14 @@ def test_train_then_test_cli(tmp_path):
     frame_files = list((res / 'cat2dog').rglob('*.jpg'))
     assert len(frame_files) == 2, f'expected 2 frames, got {frame_files}'
 
+    # quality metrics report written alongside the videos
+    import json
+    with open(res / 'metrics.json') as f:
+        metrics = json.load(f)
+    assert {'source', 'cat2dog'} <= set(metrics)
+    assert metrics['source']['temporal_consistency_db'] is not None
+    assert 'psnr_vs_source_db' in metrics['cat2dog']
+
 
 def test_long_video_cli(tmp_path):
     """test.py on a video LONGER than the temporal-PE cap: 8 frames with
@@ -157,3 +165,49 @@ def test_long_video_cli(tmp_path):
     res = tmp_path / 'results' / 'smoke_long' / 'visualization'
     frame_files = list((res / 'cat2dog').rglob('*.jpg'))
     assert len(frame_files) == 8, f'expected 8 frames, got {frame_files}'
+
+
+def test_sharded_cli(tmp_path):
+    """`test.py --shard 1,2,4` on the virtual 8-device mesh: the multi-chip
+    inference path (sp frame sharding + Megatron tp U-Net sharding) reached
+    purely through the CLI surface."""
+    from scripts.make_smoke_dataset import make
+    data_dir = tmp_path / 'data'
+    make(str(data_dir), frames=4, size=64)
+
+    datasets = {
+        'type': 'SingleVideoPointDataset',
+        'path': str(data_dir / 'frames'),
+        'tap_path': str(data_dir / 'TAP.pth'),
+        'prompt': 'a cat walking on a gradient floor',
+        'num_frames': 4, 'total_frames': 4,
+        'video_transform': [
+            {'type': 'Resize', 'size': 64},
+            {'type': 'ToTensor'},
+            {'type': 'Normalize', 'mean': [0.5], 'std': [0.5]},
+        ],
+        'batch_size_per_gpu': 1,
+    }
+    test_cfg = {
+        'name': 'smoke_shard', 'manual_seed': 7, 'mixed_precision': 'no',
+        'datasets': datasets, 'models': TINY_MODELS, 'path': {},
+        'val': {'save_type': 'frame', 'editing_config': {
+            'use_invertion_latents': True,
+            'use_blend': False,
+            'num_inference_steps': 2,
+            'guidance_scale': 7.5,
+            't2i_guidance_scale': 0.5, 't2i_start': 0.0, 't2i_end': 0.5,
+            'editing_prompts': {
+                'cat2dog': {'replace': 'cat -> dog'},
+            },
+        }},
+    }
+    tcfg_path = tmp_path / 'test_shard.yml'
+    _write_cfg(tcfg_path, test_cfg)
+
+    import test as test_mod
+    test_mod.test(str(tmp_path), str(tcfg_path), shard='1,2,4')
+
+    res = tmp_path / 'results' / 'smoke_shard' / 'visualization'
+    frame_files = list((res / 'cat2dog').rglob('*.jpg'))
+    assert len(frame_files) == 4, f'expected 4 frames, got {frame_files}'
