@@ -179,6 +179,27 @@ def test_atlas_training_reduces_loss(atlas_setup):
     assert np.isfinite(p) and p > 0
 
 
+def test_atlas_run_steps_scanned(atlas_setup):
+    """run_steps (one scanned dispatch per log interval — what the
+    train_atlas.py driver uses) trains equivalently to the host loop:
+    finite decreasing loss, inverse loss included, params advanced."""
+    trainer, params, _ = atlas_setup
+    opt_state = trainer.init_opt_state(params)
+    rng = jax.random.PRNGKey(3)
+
+    rng, k = jax.random.split(rng)
+    params, opt_state, ld = trainer.run_steps(params, opt_state, k, 0, 10)
+    first = float(ld['total_loss'])
+    assert 'fg_inv_loss' in ld and np.isfinite(float(ld['fg_inv_loss']))
+    for i in range(1, 4):
+        rng, k = jax.random.split(rng)
+        params, opt_state, ld = trainer.run_steps(params, opt_state, k,
+                                                  10 * i, 10)
+    last = float(ld['total_loss'])
+    assert np.isfinite(last)
+    assert last < first, f'scanned loss did not decrease: {first} -> {last}'
+
+
 def test_propagation_flow(atlas_setup):
     trainer, params, _ = atlas_setup
     from videoswap_tpu.atlas.propagate import (bind_nets,

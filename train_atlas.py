@@ -108,14 +108,21 @@ def train(root_path: str, args) -> None:
     msg = MessageLogger(opt, 0)
     lr = float(opt['train'].get('optimizer', {}).get('lr', 1e-4))
 
-    for global_step in range(1, total_iter + 1):
-        rng, k1, k2 = jax.random.split(rng, 3)
-        params, opt_state, loss_dict = trainer.step(params, opt_state, k1,
-                                                    global_step)
-        if 'FG_UV_Mapping_Inverse' in params:
-            params, opt_state, inv_loss = trainer.inverse_step(
-                params, opt_state, k2)
-            loss_dict = dict(loss_dict, fg_inv_loss=inv_loss)
+    # One device dispatch per log interval: the 10k-point step is tiny, so
+    # a per-iteration host loop pays ~4-5 ms dispatch overhead per step on
+    # the axon tunnel (more than the compute). run_steps scans to the next
+    # print/val/save boundary; boundary spacing is usually one distinct
+    # chunk size, so at most a couple of scan programs compile.
+    global_step = 0
+    while global_step < total_iter:
+        nxt = min(f * (global_step // f + 1)
+                  for f in (print_freq, save_freq, val_freq)
+                  if f < 10 ** 9)
+        nxt = min(nxt, total_iter)
+        rng, k = jax.random.split(rng)
+        params, opt_state, loss_dict = trainer.run_steps(
+            params, opt_state, k, global_step, nxt - global_step)
+        global_step = nxt
 
         if global_step % print_freq == 0:
             log_vars = {'iter': global_step, 'lrs': [lr]}

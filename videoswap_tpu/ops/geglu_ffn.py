@@ -96,9 +96,11 @@ def _xla_reference(x2, w1, b1, w2, b2):
     return ((a * gelu_fast(gate)) @ w2 + b2).astype(x2.dtype)
 
 
-def _forward(x2, w1, b1, w2, b2, interpret: bool = False):
+def _forward(x2, w1, b1, w2, b2, interpret: bool = False,
+             block: int | None = None, semantics: str = 'arbitrary'):
     n, c = x2.shape
-    block = 512 if c <= 320 else 128
+    if block is None:
+        block = 512 if c <= 320 else 128
     npad = (n + block - 1) // block * block
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
@@ -116,7 +118,7 @@ def _forward(x2, w1, b1, w2, b2, interpret: bool = False):
         out_specs=pl.BlockSpec((block, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, c), x2.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            dimension_semantics=(semantics,)),
     )(x2, w1, b1, w2, b2)
     return out[:n]
 
