@@ -26,7 +26,8 @@ os.makedirs('/root/.cache/jax_bench_cache', exist_ok=True)
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_bench_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-N, C = 131072, 320
+N = int(os.environ.get('BG_N', 131072))
+C = int(os.environ.get('BG_C', 320))
 LOOP = 20
 
 
@@ -66,16 +67,14 @@ def main():
 
     variants = {
         'xla': lambda x: gf._xla_reference(x, w1, b1, w2, b2),
-        'b512-arb (current)': lambda x: gf._forward(x, w1, b1, w2, b2),
-        'b512-par': lambda x: gf._forward(x, w1, b1, w2, b2,
-                                          block=512, semantics='parallel'),
-        'b256-arb': lambda x: gf._forward(x, w1, b1, w2, b2, block=256),
-        'b256-par': lambda x: gf._forward(x, w1, b1, w2, b2,
-                                          block=256, semantics='parallel'),
-        'b1024-arb': lambda x: gf._forward(x, w1, b1, w2, b2, block=1024),
-        'b1024-par': lambda x: gf._forward(x, w1, b1, w2, b2,
-                                           block=1024, semantics='parallel'),
+        'default': lambda x: gf._forward(x, w1, b1, w2, b2),
     }
+    for blk in (64, 128, 256, 512, 1024):
+        variants[f'b{blk}-arb'] = (
+            lambda x, b=blk: gf._forward(x, w1, b1, w2, b2, block=b))
+        variants[f'b{blk}-par'] = (
+            lambda x, b=blk: gf._forward(x, w1, b1, w2, b2, block=b,
+                                         semantics='parallel'))
     names = sys.argv[1:] or list(variants)
     for name in names:
         t0 = time.time()

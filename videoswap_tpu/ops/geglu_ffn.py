@@ -100,7 +100,10 @@ def _forward(x2, w1, b1, w2, b2, interpret: bool = False,
              block: int | None = None, semantics: str = 'arbitrary'):
     n, c = x2.shape
     if block is None:
-        block = 512 if c <= 320 else 128
+        # swept on v5e (scripts/bench_geglu.py): 256 beats 512 at c=320
+        # (2.17 vs 2.71 ms @ 131072 rows) and 128 at c=640 (1.73 vs 1.81
+        # @ 32768 rows) — 256x(8c) double-buffers within VMEM at both widths
+        block = 256
     npad = (n + block - 1) // block * block
     if npad != n:
         x2 = jnp.pad(x2, ((0, npad - n), (0, 0)))
