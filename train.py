@@ -38,7 +38,8 @@ def train(root_path: str, args) -> None:
     maybe_initialize_distributed(getattr(args, 'distributed', False))
 
     opt = load_config(args.opt)
-    set_path_logger(root_path, args.opt, opt, is_train=True)
+    set_path_logger(root_path, args.opt, opt, is_train=True,
+                    reuse_existing=getattr(args, 'resume', False))
     logger = get_logger()
     logger.info(dict2str(opt))
 
@@ -74,8 +75,28 @@ def train(root_path: str, args) -> None:
     total_iter = int(train_opt['total_iter'])
     global_step = 0
 
+    # checkpoint backend: 'msgpack' (reference-parity flat files, default)
+    # or 'orbax' (async step-indexed manager w/ retention + sharding-aware
+    # restore — utils/checkpointing.py)
+    ckpt_backend = opt['logger'].get('checkpoint_backend', 'msgpack')
+    ckpt_mgr = None
+    if ckpt_backend == 'orbax':
+        from videoswap_tpu.utils.checkpointing import CheckpointManager
+        ckpt_mgr = CheckpointManager(
+            os.path.join(opt['path']['models'], 'orbax'),
+            max_to_keep=int(opt['logger'].get('max_to_keep', 3)))
+
     resume_path = os.path.join(opt['path']['models'], 'train_state.pkl')
-    if args.resume and os.path.isfile(resume_path):
+    if args.resume and ckpt_mgr is not None and \
+            ckpt_mgr.latest_step() is not None:
+        restored = ckpt_mgr.restore(template={
+            'adapter': adapter_params, 'opt_state': opt_state,
+            'global_step': 0})
+        adapter_params = restored['adapter']
+        opt_state = restored['opt_state']
+        global_step = int(restored['global_step'])
+        logger.info(f'resumed from orbax step {global_step}')
+    elif args.resume and os.path.isfile(resume_path):
         adapter_params, opt_state, global_step = load_train_state(
             resume_path, adapter_params, opt_state)
         logger.info(f'resumed from step {global_step}')
@@ -136,10 +157,17 @@ def train(root_path: str, args) -> None:
                                 f'models_{global_step}')
             save_adapter_checkpoint(
                 os.path.join(mdir, 'adapter.msgpack'), adapter_params)
-            save_train_state(resume_path, adapter_params, opt_state,
-                             global_step)
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(global_step, {
+                    'adapter': adapter_params, 'opt_state': opt_state,
+                    'global_step': global_step})
+            else:
+                save_train_state(resume_path, adapter_params, opt_state,
+                                 global_step)
             logger.info(f'saved checkpoint at step {global_step}')
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()       # drain the async save thread before exit
     s = timer.summary()
     if s:
         logger.info(

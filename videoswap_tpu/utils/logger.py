@@ -42,8 +42,13 @@ def copy_opt_file(opt_path: str, experiments_root: str) -> None:
 
 
 def set_path_logger(root_path: str, config_path: str, opt: dict,
-                    is_train: bool = True) -> dict:
+                    is_train: bool = True,
+                    reuse_existing: bool = False) -> dict:
     """Create the experiment directory tree and record paths in opt.
+
+    `reuse_existing` (train.py --resume) keeps an existing experiment dir
+    in place instead of archive-renaming it — otherwise the rename would
+    sweep away the very train_state/orbax checkpoints resume needs.
 
     Multi-host: only process 0 touches the filesystem (the reference gates
     on accelerator.is_main_process, logger.py:82 / train.py:210); other
@@ -54,7 +59,10 @@ def set_path_logger(root_path: str, config_path: str, opt: dict,
     exp_root = os.path.join(root_path, base, name)
     main = is_main_process()
     if main:
-        mkdir_and_rename(exp_root)
+        if reuse_existing:
+            os.makedirs(exp_root, exist_ok=True)
+        else:
+            mkdir_and_rename(exp_root)
     paths = {
         'exp_root': exp_root,
         'models': os.path.join(exp_root, 'models'),
