@@ -113,10 +113,14 @@ class AtlasTrainer:
         pre_grigid = int(self.train_opt.get(
             'pretrain_global_rigidity_iter', 0))
         w_rec = cfg['reconstruction_loss']
-        data = self.data
         nets = self.nets
 
-        def step(params, opt_state, rng, global_step):
+        # `data` is an ARGUMENT, not a closure capture: closed-over device
+        # arrays are lowered as HLO constants, and at production scale
+        # (768x448 x 72 frames ~ 1.6 GB) the serialized module breaks the
+        # axon remote-compile transport (broken pipe). Passing the arrays
+        # as runtime parameters keeps the module small.
+        def step(params, opt_state, rng, global_step, data):
             kx, ky, kf = jax.random.split(rng, 3)
             x = jax.random.randint(kx, (batch,), 0, self.res_x)
             y = jax.random.randint(ky, (batch,), 0, self.res_y)
@@ -215,22 +219,21 @@ class AtlasTrainer:
         if self._step is None:
             self._step = jax.jit(self._step_fn(), donate_argnums=(0, 1))
         return self._step(params, opt_state, rng,
-                          jnp.asarray(global_step))
+                          jnp.asarray(global_step), self.data)
 
     # -------------------------------------------------------- inverse step
     def _inv_step_fn(self):
         batch = int(self.train_opt.get('sample_batch_size', 10000))
         nets = self.nets
-        data = self.data
 
-        def step(inv_params, fg_params, opt_state, rng):
+        def step(inv_params, fg_params, opt_state, rng, mask):
             kx, ky, kf = jax.random.split(rng, 3)
             x = jax.random.randint(kx, (batch,), 0, self.res_x)
             y = jax.random.randint(ky, (batch,), 0, self.res_y)
             f = jax.random.randint(kf, (batch,), 0, self.num_frames)
             xyt = jnp.stack([self.norm_s(x), self.norm_s(y),
                              self.norm_t(f)], axis=-1).astype(jnp.float32)
-            fg_mask = data['mask'][f, y, x]  # supervise FG points only
+            fg_mask = mask[f, y, x]  # supervise FG points only
             uv = jax.lax.stop_gradient(
                 nets['FG_UV_Mapping'].apply(fg_params, xyt))
             uvt = jnp.concatenate([uv, xyt[:, 2:]], axis=-1)
@@ -254,7 +257,7 @@ class AtlasTrainer:
                                      donate_argnums=(0,))
         inv, opt_state, loss = self._inv_step(
             params['FG_UV_Mapping_Inverse'], params['FG_UV_Mapping'],
-            opt_state, rng)
+            opt_state, rng, self.data['mask'])
         return dict(params, FG_UV_Mapping_Inverse=inv), opt_state, loss
 
     # -------------------------------------------------- scanned multi-step
@@ -262,20 +265,22 @@ class AtlasTrainer:
         main_step = self._step_fn()
         inv_step = self._inv_step_fn() if with_inverse else None
 
-        def body(carry, it):
-            params, opt_state = carry
-            key, gstep = it
-            k1, k2 = jax.random.split(key)
-            params, opt_state, ld = main_step(params, opt_state, k1, gstep)
-            if inv_step is not None:
-                inv, opt_state, inv_loss = inv_step(
-                    params['FG_UV_Mapping_Inverse'],
-                    params['FG_UV_Mapping'], opt_state, k2)
-                params = dict(params, FG_UV_Mapping_Inverse=inv)
-                ld = dict(ld, fg_inv_loss=inv_loss)
-            return (params, opt_state), ld
+        def run(params, opt_state, rng, start_step, data):
+            def body(carry, it):
+                params, opt_state = carry
+                key, gstep = it
+                k1, k2 = jax.random.split(key)
+                params, opt_state, ld = main_step(params, opt_state, k1,
+                                                  gstep, data)
+                if inv_step is not None:
+                    inv, opt_state, inv_loss = inv_step(
+                        params['FG_UV_Mapping_Inverse'],
+                        params['FG_UV_Mapping'], opt_state, k2,
+                        data['mask'])
+                    params = dict(params, FG_UV_Mapping_Inverse=inv)
+                    ld = dict(ld, fg_inv_loss=inv_loss)
+                return (params, opt_state), ld
 
-        def run(params, opt_state, rng, start_step):
             keys = jax.random.split(rng, n)
             gsteps = start_step + jnp.arange(1, n + 1)
             (params, opt_state), lds = jax.lax.scan(
@@ -302,4 +307,5 @@ class AtlasTrainer:
         if fn is None:
             fn = self._run_steps_cache[key] = self._build_run_steps(
                 int(n), with_inv)
-        return fn(params, opt_state, rng, jnp.asarray(start_step))
+        return fn(params, opt_state, rng, jnp.asarray(start_step),
+                  self.data)

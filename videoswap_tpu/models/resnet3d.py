@@ -34,19 +34,57 @@ class InflatedConv(nn.Module):
         return conv_over_frames(conv, x)
 
 
+class _Conv2DParams(nn.Module):
+    """Owns nn.Conv-compatible (kernel, bias) params without fixing how
+    they are applied — same pytree path/shapes/init as nn.Conv, so weight
+    converters and checkpoints are unaffected."""
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, in_channels: int):
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, in_channels, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _InflatedConvParams(nn.Module):
+    """Param shell mirroring InflatedConv's conv/conv2d nesting."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_channels: int):
+        return _Conv2DParams(self.features, name='conv2d')(in_channels)
+
+
 class Upsample3D(nn.Module):
-    """Nearest-neighbor 2x spatial upsample + 3x3 conv (frames untouched)."""
+    """Nearest-neighbor 2x spatial upsample + 3x3 conv (frames untouched).
+
+    Clean 2x upsamples run as a subpixel phase decomposition (four 2x2
+    convs on the LOW-res grid + depth-to-space, ops/subpixel.py) — same
+    arithmetic as the reference's repeat-then-conv (reference
+    resnet.py:21-69), 2.25x fewer MXU FLOPs, no 4x HBM intermediate.
+    Ragged `output_size` targets fall back to repeat+conv."""
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  output_size: Optional[tuple[int, int]] = None) -> jnp.ndarray:
+        from videoswap_tpu.ops.subpixel import (naive_upsample_conv,
+                                                subpixel_enabled,
+                                                subpixel_upsample_conv)
         b, f, h, w, c = x.shape
         th, tw = output_size if output_size is not None else (h * 2, w * 2)
-        x = jnp.repeat(jnp.repeat(x, (th + h - 1) // h, axis=2),
-                       (tw + w - 1) // w, axis=3)[:, :, :th, :tw]
-        return InflatedConv(self.features, dtype=self.dtype, name='conv')(x)
+        kernel, bias = _InflatedConvParams(self.features, name='conv')(c)
+        x2 = x.reshape(b * f, h, w, c)
+        if (th, tw) == (h * 2, w * 2) and subpixel_enabled():
+            y = subpixel_upsample_conv(x2, kernel, bias, self.dtype)
+        else:
+            y = naive_upsample_conv(x2, kernel, bias, self.dtype, (th, tw))
+        return y.reshape(b, f, th, tw, self.features)
 
 
 class Downsample3D(nn.Module):

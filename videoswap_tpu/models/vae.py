@@ -19,7 +19,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from videoswap_tpu.models.resnet3d import _Conv2DParams
 from videoswap_tpu.ops import dot_product_attention
+from videoswap_tpu.ops.subpixel import (naive_upsample_conv, subpixel_enabled,
+                                        subpixel_upsample_conv)
 
 SD_VAE_SCALING = 0.18215
 
@@ -122,10 +125,17 @@ class Decoder(nn.Module):
                 x = VAEResnetBlock(ch, norm_groups=self.norm_groups, dtype=self.dtype,
                                    name=f'up_blocks_{i}_resnets_{j}')(x)
             if i < len(chans) - 1:
-                b, h, w, c = x.shape
-                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-                x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
-                            name=f'up_blocks_{i}_upsamplers_0_conv')(x)
+                # nearest-2x + conv3x3 as a subpixel phase decomposition
+                # (ops/subpixel.py): same math, 2.25x fewer conv FLOPs.
+                # Params keep the nn.Conv kernel/bias path for converters.
+                kernel, bias = _Conv2DParams(
+                    ch, name=f'up_blocks_{i}_upsamplers_0_conv')(ch)
+                if subpixel_enabled():
+                    x = subpixel_upsample_conv(x, kernel, bias, self.dtype)
+                else:
+                    h, w = x.shape[1:3]
+                    x = naive_upsample_conv(x, kernel, bias, self.dtype,
+                                            (2 * h, 2 * w))
         x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name='conv_norm_out')(x)
         x = nn.silu(x)
