@@ -159,30 +159,42 @@ def test_trainer_step_decreases_nan_free(pipe):
     assert losses[-1] < losses[0], f'loss did not decrease: {losses}'
 
 
-def test_loop_modes_equivalent(pipe, conditions):
-    """The python-loop sampler (TPU path) must produce exactly the same
-    latents as the scan sampler."""
+def test_loop_modes_equivalent(pipe, conditions, monkeypatch):
+    """The python-loop (TPU path) and chunk (K-step scan per dispatch)
+    samplers must produce exactly the same latents as the scan sampler.
+    VS_CHUNK=2 over 3 steps exercises the ragged tail chunk."""
+    monkeypatch.setenv('VS_CHUNK', '2')
     kwargs = dict(prompt='a cat', video_length=2, height=64, width=64,
                   num_inference_steps=3, guidance_scale=7.5,
                   conditions=conditions, t2i_guidance_scale=0.5,
                   t2i_start=0.0, t2i_end=0.5, output_type='latent')
     lat_scan = pipe.sample(loop='scan', **kwargs)
     lat_py = pipe.sample(loop='python', **kwargs)
+    lat_ck = pipe.sample(loop='chunk', **kwargs)
     np.testing.assert_allclose(np.asarray(lat_scan), np.asarray(lat_py),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lat_scan), np.asarray(lat_ck),
                                atol=1e-5)
 
 
-def test_invert_loop_modes_equivalent(pipe):
+def test_invert_loop_modes_equivalent(pipe, monkeypatch):
+    monkeypatch.setenv('VS_CHUNK', '2')
     video = np.random.RandomState(3).rand(1, 2, 64, 64, 3).astype(
         np.float32) * 2 - 1
     inv_s, per_s = pipe.invert(video, 'a cat', num_inference_steps=3,
                                loop='scan')
     inv_p, per_p = pipe.invert(video, 'a cat', num_inference_steps=3,
                                loop='python')
+    inv_c, per_c = pipe.invert(video, 'a cat', num_inference_steps=3,
+                               loop='chunk')
     np.testing.assert_allclose(np.asarray(inv_s), np.asarray(inv_p),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(per_s['latents']),
                                np.asarray(per_p['latents']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inv_s), np.asarray(inv_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(per_s['latents']),
+                               np.asarray(per_c['latents']), atol=1e-5)
 
 
 def test_trainer_step_bf16_models():

@@ -24,6 +24,7 @@ TPU-first:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -128,11 +129,21 @@ class VideoSwapPipeline:
         full-size scan compiles pathologically slowly (hours), while a
         single step compiles in ~1 min — so 'auto' picks a jitted
         single-step + host loop there (49 extra dispatches are amortized
-        by async dispatch)."""
+        by async dispatch). 'chunk' is the middle ground: a short
+        `lax.scan` of VS_CHUNK steps per dispatch (host loop over chunks),
+        amortizing per-dispatch overhead without the full-scan compile.
+        VS_LOOP overrides 'auto' for A/B runs."""
         if loop != 'auto':
             return loop
+        env = os.environ.get('VS_LOOP', '')
+        if env in ('scan', 'python', 'chunk'):
+            return env
         import jax as _jax
         return 'python' if _jax.default_backend() == 'tpu' else 'scan'
+
+    @staticmethod
+    def _chunk_size() -> int:
+        return max(1, int(os.environ.get('VS_CHUNK', '10')))
 
     # ------------------------------------------------------------ inversion
     def invert(self, video, prompt: str, num_inference_steps: int = 50,
@@ -199,6 +210,37 @@ class VideoSwapPipeline:
 
         enc = self._cached(('invert_enc', pixels.shape),
                            lambda params, px, tx: encode(params, px, tx))
+        if loop == 'chunk':
+            kk = self._chunk_size()
+
+            def chunk_fn(k_steps):
+                def fn(params, lat, i0, ts_arr, text):
+                    def sbody(lat, j):
+                        new_lat, store = body(params, lat, ts_arr[i0 + j],
+                                              text)
+                        return new_lat, {'latents': new_lat, 'attn': store}
+
+                    return jax.lax.scan(sbody, lat, jnp.arange(k_steps))
+                return fn
+
+            lat = enc(self.params, pixels, text)
+            z0 = lat
+            pers = []
+            i0, n_ts = 0, len(np.asarray(ts))
+            while i0 < n_ts:
+                k = min(kk, n_ts - i0)
+                cj = self._cached(('invert_chunk', num_inference_steps,
+                                   pixels.shape, want_store,
+                                   store_ctrl.mode, k), chunk_fn(k))
+                lat, per = cj(self.params, lat, np.int32(i0), ts, text)
+                pers.append(per)
+                i0 += k
+            per_step = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pers)
+            per_step = dict(per_step, z0=z0, ts=ts)
+            if not want_store:
+                per_step['attn'] = {}
+            return lat, per_step
+
         step = self._cached(('invert_step', num_inference_steps,
                              pixels.shape, want_store, store_ctrl.mode),
                             lambda params, lat, i, ts_arr, text:
@@ -403,6 +445,37 @@ class VideoSwapPipeline:
             lat, attn_sums = self._cached(key, fn)(
                 self.params, latents, text, adapter_states, estate,
                 xs_extra, sums0)
+        elif loop == 'chunk':
+            # K steps per dispatch via a short lax.scan: amortizes the
+            # per-dispatch tunnel overhead (~4-10 ms/step at bench shapes)
+            # without the pathological full-loop compile (see
+            # _default_loop). Per-step slicing stays in-graph (gathers on
+            # the traced index).
+            kk = self._chunk_size()
+
+            def chunk_fn(k_steps):
+                def fn(params, carry, i0, ts_arr, xs_extra, text,
+                       adapter_states, estate):
+                    def body(c, j):
+                        i = i0 + j
+                        step = {'i': i, 't': ts_arr[i]}
+                        step.update(jax.tree.map(lambda a: a[i], xs_extra))
+                        return step_body(params, c, step, text,
+                                         adapter_states, estate), None
+
+                    c, _ = jax.lax.scan(body, carry, jnp.arange(k_steps))
+                    return c
+                return fn
+
+            carry = (latents, sums0)
+            i0 = 0
+            while i0 < len(ts):
+                k = min(kk, len(ts) - i0)
+                carry = self._cached(key + (k,), chunk_fn(k))(
+                    self.params, carry, np.int32(i0), ts, xs_extra, text,
+                    adapter_states, estate)
+                i0 += k
+            lat, attn_sums = carry
         else:
             # all per-step slicing happens INSIDE the jit: an eager `ts[i]`
             # or xs_extra slice per step costs a ~10-20 ms axon round trip
