@@ -127,19 +127,21 @@ class VideoSwapPipeline:
         """'scan' compiles the whole DDIM loop into one XLA while-loop —
         ideal on CPU/plain TPU. Through the axon remote-compile tunnel the
         full-size scan compiles pathologically slowly (hours), while a
-        single step compiles in ~1 min — so 'auto' picks a jitted
-        single-step + host loop there (49 extra dispatches are amortized
-        by async dispatch). 'chunk' is the middle ground: a short
-        `lax.scan` of VS_CHUNK steps per dispatch (host loop over chunks),
-        amortizing per-dispatch overhead without the full-scan compile.
-        VS_LOOP overrides 'auto' for A/B runs."""
+        single step compiles in ~1 min. 'chunk' is the middle ground: a
+        short `lax.scan` of VS_CHUNK steps per dispatch (host loop over
+        chunks), amortizing the ~11 ms/step dispatch overhead of the
+        single-step host loop without the full-scan compile — measured at
+        bench shapes (512^2 x 16f x 50 steps): python 17.1 s, chunk K=5
+        16.60 s, K=10 16.53 s, with much tighter run-to-run variance. So
+        'auto' picks 'chunk' on TPU. VS_LOOP overrides 'auto' for A/B
+        runs."""
         if loop != 'auto':
             return loop
         env = os.environ.get('VS_LOOP', '')
         if env in ('scan', 'python', 'chunk'):
             return env
         import jax as _jax
-        return 'python' if _jax.default_backend() == 'tpu' else 'scan'
+        return 'chunk' if _jax.default_backend() == 'tpu' else 'scan'
 
     @staticmethod
     def _chunk_size() -> int:
