@@ -197,6 +197,46 @@ def test_invert_loop_modes_equivalent(pipe, monkeypatch):
                                np.asarray(per_c['latents']), atol=1e-5)
 
 
+def test_dpm_sampler_loop_modes_equivalent(pipe, conditions, monkeypatch):
+    """sampler='dpmpp_2m' threads an extra prev-x0 carry through every
+    loop mode; all three must agree exactly, and the solver must actually
+    change the trajectory vs DDIM."""
+    monkeypatch.setenv('VS_CHUNK', '2')
+    kwargs = dict(prompt='a cat', video_length=2, height=64, width=64,
+                  num_inference_steps=3, guidance_scale=7.5,
+                  conditions=conditions, t2i_guidance_scale=0.5,
+                  t2i_start=0.0, t2i_end=0.5, output_type='latent')
+    lat_scan = pipe.sample(loop='scan', sampler='dpmpp_2m', **kwargs)
+    lat_py = pipe.sample(loop='python', sampler='dpmpp_2m', **kwargs)
+    lat_ck = pipe.sample(loop='chunk', sampler='dpmpp_2m', **kwargs)
+    np.testing.assert_allclose(np.asarray(lat_scan), np.asarray(lat_py),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lat_scan), np.asarray(lat_ck),
+                               atol=1e-5)
+    lat_ddim = pipe.sample(loop='scan', sampler='ddim', **kwargs)
+    assert float(jnp.abs(lat_scan - lat_ddim).max()) > 1e-6
+    assert np.isfinite(np.asarray(lat_scan)).all()
+
+
+def test_validation_with_dpm_sampler(pipe, conditions):
+    """editing_config.sampler reaches the sampling loop through
+    validation (and composes with the blended-edit path)."""
+    video = np.random.RandomState(4).rand(1, 2, 64, 64, 3).astype(
+        np.float32) * 2 - 1
+    editing_config = {
+        'use_invertion_latents': True,
+        'num_inference_steps': 2,
+        'guidance_scale': 7.5,
+        'sampler': 'dpmpp_2m',
+        'editing_prompts': {
+            'swap': {'replace': 'cat -> dog'},
+        },
+    }
+    results = pipe.validation(video, conditions, 'a cat walking',
+                              editing_config)
+    assert len(results['swap']) == 2
+
+
 def test_trainer_step_bf16_models():
     """Production-dtype training: bf16 models end-to-end through the
     donated train step (guards custom-VJP dtype contracts — a gelu dtype

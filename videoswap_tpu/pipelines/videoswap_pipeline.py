@@ -45,7 +45,7 @@ from videoswap_tpu.p2p.edit import (EditBundle, _flatten_attn_store,
                                     want_recompute_self)
 from videoswap_tpu.schedulers import (DiffusionSchedule, ddim_inverse_step,
                                       ddim_inverse_timesteps, ddim_step,
-                                      ddim_timesteps)
+                                      ddim_timesteps, dpm_pp_2m_step)
 from videoswap_tpu.utils.image import postprocess_video, preprocess_video
 from videoswap_tpu.utils.registry import PIPELINE_REGISTRY
 
@@ -282,10 +282,19 @@ class VideoSwapPipeline:
                rng: Optional[jax.Array] = None,
                loop: str = 'auto',
                output_type: str = 'pil',
-               return_attn_sums: bool = False):
+               return_attn_sums: bool = False,
+               sampler: str = 'ddim'):
         """The reference `__call__` (:426-619): CFG DDIM sampling from
         (usually) inverted latents with point-adapter residual guidance and
-        optional prompt-to-prompt control + latent blending."""
+        optional prompt-to-prompt control + latent blending.
+
+        `sampler`: 'ddim' (reference parity) or 'dpmpp_2m'
+        (DPM-Solver++(2M), schedulers/dpm.py) — a second-order multistep
+        solver on the same timestep grid, so ~20 steps reach quality the
+        reference needs 50 DDIM steps for. Step-indexed behaviors (adapter
+        window, p2p schedules, blending) are unchanged."""
+        assert sampler in ('ddim', 'dpmpp_2m'), sampler
+        use_dpm = sampler == 'dpmpp_2m'
         do_cfg = guidance_scale > 1.0
         if do_cfg:
             neg = negative_prompt or ''
@@ -324,7 +333,8 @@ class VideoSwapPipeline:
                      and (height // 8) * (width // 8) >= 1024)
 
         def step_body(params, carry, step, text, adapter_states, estate):
-            lat, sums = carry
+            lat, sums = carry[0], carry[1]
+            prev_x0 = carry[2] if use_dpm else None
             i, t = step['i'], step['t']
             inp = lat if (not do_cfg or dedup) \
                 else jnp.concatenate([lat, lat], 0)
@@ -414,14 +424,19 @@ class VideoSwapPipeline:
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
                 if guidance_rescale > 0.0:
                     eps = rescale_noise_cfg(eps, eps_c, guidance_rescale)
-            lat = ddim_step(self.sched, eps.astype(lat.dtype), t, lat,
-                            num_inference_steps).astype(lat.dtype)
+            if use_dpm:
+                lat, x0 = dpm_pp_2m_step(
+                    self.sched, eps.astype(lat.dtype), t, lat, prev_x0, i,
+                    num_inference_steps)
+            else:
+                lat = ddim_step(self.sched, eps.astype(lat.dtype), t, lat,
+                                num_inference_steps).astype(lat.dtype)
 
             if do_edit and ecfg.blend_latents:
                 lat, sums = latent_blend_step(
                     ecfg, estate, lat, step['inv_latents'],
                     step['base_cross'], sums, tgt_maps, i)
-            return lat, sums
+            return (lat, sums, x0) if use_dpm else (lat, sums)
 
         if do_edit:
             estate = edit_bundle.static_state
@@ -430,9 +445,14 @@ class VideoSwapPipeline:
         else:
             estate, xs_extra, sums0 = {}, {}, {}
 
+        def init_carry(latents, sums0):
+            if use_dpm:
+                return (latents, sums0, jnp.zeros_like(latents))
+            return (latents, sums0)
+
         key = ('sample', num_inference_steps, latents.shape, do_cfg,
                has_adapter, guidance_scale, t2i_start, t2i_end,
-               t2i_guidance_scale, guidance_rescale, ecfg, loop)
+               t2i_guidance_scale, guidance_rescale, ecfg, loop, sampler)
         if loop == 'scan':
             def fn(params, latents, text, adapter_states, estate, xs_extra,
                    sums0):
@@ -441,8 +461,9 @@ class VideoSwapPipeline:
                                      adapter_states, estate), None
 
                 xs = {'i': jnp.arange(len(ts)), 't': ts, **xs_extra}
-                (lat, sums), _ = jax.lax.scan(body, (latents, sums0), xs)
-                return lat, sums
+                carry, _ = jax.lax.scan(body, init_carry(latents, sums0),
+                                        xs)
+                return carry[0], carry[1]
 
             lat, attn_sums = self._cached(key, fn)(
                 self.params, latents, text, adapter_states, estate,
@@ -469,7 +490,7 @@ class VideoSwapPipeline:
                     return c
                 return fn
 
-            carry = (latents, sums0)
+            carry = init_carry(latents, sums0)
             i0 = 0
             while i0 < len(ts):
                 k = min(kk, len(ts) - i0)
@@ -477,7 +498,7 @@ class VideoSwapPipeline:
                     self.params, carry, np.int32(i0), ts, xs_extra, text,
                     adapter_states, estate)
                 i0 += k
-            lat, attn_sums = carry
+            lat, attn_sums = carry[0], carry[1]
         else:
             # all per-step slicing happens INSIDE the jit: an eager `ts[i]`
             # or xs_extra slice per step costs a ~10-20 ms axon round trip
@@ -490,11 +511,11 @@ class VideoSwapPipeline:
                                  estate)
 
             step_jit = self._cached(key, fn)
-            carry = (latents, sums0)
+            carry = init_carry(latents, sums0)
             for i in range(len(ts)):
                 carry = step_jit(self.params, carry, np.int32(i), ts,
                                  xs_extra, text, adapter_states, estate)
-            lat, attn_sums = carry
+            lat, attn_sums = carry[0], carry[1]
 
         def _wrap(frames):
             # running per-step sums of the editing run's stored target maps
@@ -677,6 +698,7 @@ class VideoSwapPipeline:
                 edit_bundle=edit_bundle,
                 rng=jax.random.PRNGKey(0),  # seed-0 per edit (reference :381)
                 return_attn_sums=want_sums,
+                sampler=swap_cfg.get('sampler', cfg.get('sampler', 'ddim')),
             )
             attn_sums = None
             if want_sums:
