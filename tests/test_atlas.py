@@ -224,3 +224,75 @@ def test_atlas_texture_and_checker_renders(atlas_setup):
     chk = render_checkerboard(trainer.nets, params, 16, 16, 4,
                               trainer.norm_s, trainer.norm_t, squares=4)
     assert chk.shape == (4, 16, 16, 3) and np.isfinite(chk).all()
+
+
+def test_batched_step_matches_callable_losses(atlas_setup):
+    """The trainer's batched loss (one apply per net over concatenated
+    point sets, one hash-table scatter in the backward) must reproduce the
+    callable-per-loss composition exactly — a literal restatement of the
+    reference's loss assembly (train_atlas.py:164-249) via the public
+    callable loss APIs."""
+    trainer, params, _ = atlas_setup
+    data = trainer.data
+    rng = jax.random.PRNGKey(7)
+    global_step = 3          # all pretrain-gated terms active
+    batch = int(TRAIN_OPT['sample_batch_size'])
+
+    # replicate the step's coordinate sampling
+    kx, ky, kf = jax.random.split(rng, 3)
+    x = jax.random.randint(kx, (batch,), 0, trainer.res_x)
+    y = jax.random.randint(ky, (batch,), 0, trainer.res_y)
+    f = jax.random.randint(kf, (batch,), 0, trainer.num_frames)
+    xyf = jnp.stack([x, y, f], axis=-1)
+    rgb_gt = data['video'][f, y, x]
+    alpha_gt = data['mask'][f, y, x][:, None]
+    dx_gt = data['dx'][f, y, x]
+    dy_gt = data['dy'][f, y, x]
+
+    nets, cfg = trainer.nets, TRAIN_OPT['loss_cfg']
+    fg = lambda p: nets['FG_UV_Mapping'].apply(   # noqa: E731
+        params['FG_UV_Mapping'], p)
+    bg = lambda p: nets['BG_UV_Mapping'].apply(   # noqa: E731
+        params['BG_UV_Mapping'], p)
+    al = lambda p: nets['F_Alpha'].apply(params['F_Alpha'], p)  # noqa: E731
+    at = lambda p: nets['F_Atlas'].apply(params['F_Atlas'], p)  # noqa: E731
+
+    xyt = jnp.stack([trainer.norm_s(x), trainer.norm_s(y),
+                     trainer.norm_t(f)], axis=-1).astype(jnp.float32)
+    uv_fg, uv_bg = fg(xyt), bg(xyt)
+    alpha = losses.scaled_alpha(al(xyt))
+    rgb_out, rgb_fg, _ = losses.reconstruct_rgb(uv_fg, uv_bg, alpha, at)
+
+    expected = {
+        'gradient_loss': losses.gradient_loss(
+            xyf, rgb_out, dx_gt, dy_gt, fg, bg, al, at,
+            trainer.norm_s, trainer.norm_t),
+        'rgb_loss': losses.rgb_loss(rgb_out, rgb_gt),
+        'alpha_loss': losses.alpha_bce_loss(alpha, alpha_gt),
+        'sparsity_loss': losses.sparsity_loss(rgb_fg, alpha),
+        'flow_alpha_loss': losses.optical_flow_alpha_loss(
+            xyf, alpha, al, data['flows'], data['flow_masks'],
+            data['flows_rev'], data['flow_masks_rev'],
+            trainer.norm_s, trainer.norm_t),
+    }
+    d_amt = TRAIN_OPT['derivative_amount']
+    gd_amt = TRAIN_OPT['global_derivative_amount']
+    for tag, mapper, uv, a in (('fg', fg, uv_fg, alpha),
+                               ('bg', bg, uv_bg, 1 - alpha)):
+        expected[f'rigidity_loss_{tag}'] = losses.rigidity_loss(
+            xyf, uv, mapper, d_amt, trainer.larger_dim, trainer.uv_scale,
+            trainer.norm_s, trainer.norm_t)
+        expected[f'global_rigidity_loss_{tag}'] = losses.rigidity_loss(
+            xyf, uv, mapper, gd_amt, trainer.larger_dim, trainer.uv_scale,
+            trainer.norm_s, trainer.norm_t)
+        expected[f'flow_loss_{tag}'] = losses.optical_flow_loss(
+            xyf, uv, mapper, data['flows'], data['flow_masks'],
+            data['flows_rev'], data['flow_masks_rev'], trainer.larger_dim,
+            trainer.uv_scale, trainer.norm_s, trainer.norm_t, alpha=a)
+
+    opt_state = trainer.init_opt_state(params)
+    _, _, ld = trainer.step(params, opt_state, rng, global_step)
+    for k, v in expected.items():
+        np.testing.assert_allclose(
+            np.asarray(ld[k]), np.asarray(v), rtol=1e-4, atol=1e-6,
+            err_msg=f'batched step diverged from callable loss: {k}')

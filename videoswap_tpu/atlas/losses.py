@@ -58,6 +58,16 @@ def sparsity_loss(rgb_fg: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return (jnp.linalg.norm(ghost, axis=-1) ** 2).mean()
 
 
+def gradient_loss_pre(rgb_out, rgb_out_x1, rgb_out_y1, dx_gt, dy_gt):
+    """Gradient loss from precomputed shifted reconstructions — the batched
+    trainer evaluates all nets once over concatenated point sets and feeds
+    the slices here (same math as `gradient_loss`)."""
+    d_out_x = rgb_out_x1 - rgb_out
+    d_out_y = rgb_out_y1 - rgb_out
+    return jnp.mean(jnp.linalg.norm(dx_gt - d_out_x, axis=-1) ** 2
+                    + jnp.linalg.norm(dy_gt - d_out_y, axis=-1) ** 2)
+
+
 def gradient_loss(xyf, rgb_out, dx_gt, dy_gt, fg_map, bg_map, f_alpha,
                   f_atlas, norm_s, norm_t):
     """Finite-difference image-gradient reconstruction (loss_utils.py:5-48).
@@ -76,23 +86,15 @@ def gradient_loss(xyf, rgb_out, dx_gt, dy_gt, fg_map, bg_map, f_alpha,
         a = scaled_alpha(f_alpha(p))
         rgb, _, _ = reconstruct_rgb(fg_map(p), bg_map(p), a, f_atlas)
         out[tag] = rgb
-    d_out_x = out['x'] - rgb_out
-    d_out_y = out['y'] - rgb_out
-    return jnp.mean(jnp.linalg.norm(dx_gt - d_out_x, axis=-1) ** 2
-                    + jnp.linalg.norm(dy_gt - d_out_y, axis=-1) ** 2)
+    return gradient_loss_pre(rgb_out, out['x'], out['y'], dx_gt, dy_gt)
 
 
-def rigidity_loss(xyf, uv, uv_map, derivative_amount: int, larger_dim: int,
-                  uv_mapping_scale: float, norm_s, norm_t) -> jnp.ndarray:
-    """Jacobian-close-to-rotation loss (loss_utils.py:52-112)."""
-    x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
-    d = derivative_amount
-    p_ym = jnp.stack([norm_s(x), norm_s(y - d), norm_t(f)], axis=-1)
-    p_xm = jnp.stack([norm_s(x - d), norm_s(y), norm_t(f)], axis=-1)
-    uv_ym = uv_map(p_ym)
-    uv_xm = uv_map(p_xm)
-
-    scale = larger_dim / 2.0 / uv_mapping_scale / d
+def rigidity_loss_pre(uv, uv_xm, uv_ym, derivative_amount: int,
+                      larger_dim: int,
+                      uv_mapping_scale: float) -> jnp.ndarray:
+    """Rigidity from precomputed shifted UV evals (same math as
+    `rigidity_loss`; used by the batched trainer step)."""
+    scale = larger_dim / 2.0 / uv_mapping_scale / derivative_amount
     du_dx = (uv[:, 0] - uv_xm[:, 0]) * scale
     du_dy = (uv[:, 0] - uv_ym[:, 0]) * scale
     dv_dx = (uv[:, 1] - uv_xm[:, 1]) * scale
@@ -110,6 +112,17 @@ def rigidity_loss(xyf, uv, uv_map, derivative_amount: int, larger_dim: int,
     return (jtj_norm + inv_norm).mean()
 
 
+def rigidity_loss(xyf, uv, uv_map, derivative_amount: int, larger_dim: int,
+                  uv_mapping_scale: float, norm_s, norm_t) -> jnp.ndarray:
+    """Jacobian-close-to-rotation loss (loss_utils.py:52-112)."""
+    x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
+    d = derivative_amount
+    p_ym = jnp.stack([norm_s(x), norm_s(y - d), norm_t(f)], axis=-1)
+    p_xm = jnp.stack([norm_s(x - d), norm_s(y), norm_t(f)], axis=-1)
+    return rigidity_loss_pre(uv, uv_map(p_xm), uv_map(p_ym), d,
+                             larger_dim, uv_mapping_scale)
+
+
 def _flow_match_coords(xyf, flows, direction: int, norm_s, norm_t):
     """coords moved by the (forward:+1 / backward:-1) flow at each point."""
     x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
@@ -118,6 +131,21 @@ def _flow_match_coords(xyf, flows, direction: int, norm_s, norm_t):
     my = y.astype(jnp.float32) + fl[:, 1]
     mf = (f + direction).astype(jnp.float32)
     return jnp.stack([norm_s(mx), norm_s(my), norm_t(mf)], axis=-1)
+
+
+def optical_flow_loss_pre(uv, uv_match_f, uv_match_b, valid_f, valid_b,
+                          larger_dim: int, uv_mapping_scale: float,
+                          alpha=None) -> jnp.ndarray:
+    """Flow loss from precomputed flow-matched UV evals (same math as
+    `optical_flow_loss`; used by the batched trainer step)."""
+    unit = larger_dim / 2.0 / uv_mapping_scale
+    total = 0.0
+    for uv_match, valid in ((uv_match_f, valid_f), (uv_match_b, valid_b)):
+        err = safe_norm(uv_match - uv) * unit
+        if alpha is not None:
+            err = err * alpha[:, 0]
+        total = total + masked_mean(err, valid) * 0.5
+    return total
 
 
 def optical_flow_loss(xyf, uv, uv_map, flows, flow_masks, flows_rev,
@@ -129,16 +157,21 @@ def optical_flow_loss(xyf, uv, uv_map, flows, flow_masks, flows_rev,
     flows: [F, H, W, 2] (forward maps f->f+1; reverse maps f->f-1);
     masks: [F, H, W] consistency masks."""
     x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
-    unit = larger_dim / 2.0 / uv_mapping_scale
+    match_f = _flow_match_coords(xyf, flows, 1, norm_s, norm_t)
+    match_b = _flow_match_coords(xyf, flows_rev, -1, norm_s, norm_t)
+    return optical_flow_loss_pre(
+        uv, uv_map(match_f), uv_map(match_b),
+        flow_masks[f, y, x], flow_masks_rev[f, y, x],
+        larger_dim, uv_mapping_scale, alpha=alpha)
+
+
+def optical_flow_alpha_loss_pre(alpha, a_match_f, a_match_b, valid_f,
+                                valid_b) -> jnp.ndarray:
+    """Alpha flow loss from precomputed flow-matched alpha evals (same
+    math as `optical_flow_alpha_loss`; used by the batched trainer)."""
     total = 0.0
-    for flo, msk, direction in ((flows, flow_masks, 1),
-                                (flows_rev, flow_masks_rev, -1)):
-        match = _flow_match_coords(xyf, flo, direction, norm_s, norm_t)
-        uv_match = uv_map(match)
-        err = safe_norm(uv_match - uv) * unit
-        valid = msk[f, y, x]
-        if alpha is not None:
-            err = err * alpha[:, 0]
+    for a_match, valid in ((a_match_f, valid_f), (a_match_b, valid_b)):
+        err = jnp.abs(alpha - a_match)[:, 0]
         total = total + masked_mean(err, valid) * 0.5
     return total
 
@@ -148,12 +181,9 @@ def optical_flow_alpha_loss(xyf, alpha, f_alpha, flows, flow_masks,
                             norm_t) -> jnp.ndarray:
     """Alpha consistency along the flow (loss_utils.py:212-233)."""
     x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
-    total = 0.0
-    for flo, msk, direction in ((flows, flow_masks, 1),
-                                (flows_rev, flow_masks_rev, -1)):
-        match = _flow_match_coords(xyf, flo, direction, norm_s, norm_t)
-        a_match = scaled_alpha(f_alpha(match))
-        err = jnp.abs(alpha - a_match)[:, 0]
-        valid = msk[f, y, x]
-        total = total + masked_mean(err, valid) * 0.5
-    return total
+    match_f = _flow_match_coords(xyf, flows, 1, norm_s, norm_t)
+    match_b = _flow_match_coords(xyf, flows_rev, -1, norm_s, norm_t)
+    return optical_flow_alpha_loss_pre(
+        alpha, scaled_alpha(f_alpha(match_f)),
+        scaled_alpha(f_alpha(match_b)),
+        flow_masks[f, y, x], flow_masks_rev[f, y, x])

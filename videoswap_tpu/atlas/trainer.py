@@ -132,6 +132,13 @@ class AtlasTrainer:
             dy_gt = data['dy'][f, y, x]
 
             def loss_fn(main_params):
+                # Batched evaluation: every net is applied ONCE over the
+                # concatenation of all the point sets the losses need.
+                # Per-point math is unchanged (row-wise MLPs + gathers are
+                # independent across rows), but the hash-table gradient
+                # becomes ONE scatter pass instead of six — the scatter
+                # backward is ~28 ms/eval on v5e and dominated the step
+                # (bench_atlas_parts.py: hash fwd 4 ms, fwd+bwd 32 ms).
                 fg = lambda p: nets['FG_UV_Mapping'].apply(   # noqa: E731
                     main_params['FG_UV_Mapping'], p)
                 bg = lambda p: nets['BG_UV_Mapping'].apply(   # noqa: E731
@@ -141,20 +148,50 @@ class AtlasTrainer:
                 at = lambda p: nets['F_Atlas'].apply(         # noqa: E731
                     main_params['F_Atlas'], p)
 
-                xyt = jnp.stack([self.norm_s(x), self.norm_s(y),
-                                 self.norm_t(f)], axis=-1).astype(
-                                     jnp.float32)
-                uv_fg = fg(xyt)
-                uv_bg = bg(xyt)
-                alpha = losses.scaled_alpha(al(xyt))
-                rgb_out, rgb_fg, _ = losses.reconstruct_rgb(
-                    uv_fg, uv_bg, alpha, at)
+                def mk(px, py):
+                    return jnp.stack(
+                        [self.norm_s(px), self.norm_s(py), self.norm_t(f)],
+                        axis=-1).astype(jnp.float32)
+
+                n = x.shape[0]
+                match_f = losses._flow_match_coords(
+                    xyf, data['flows'], 1, self.norm_s, self.norm_t)
+                match_b = losses._flow_match_coords(
+                    xyf, data['flows_rev'], -1, self.norm_s, self.norm_t)
+                # order: main, x+1, y+1, x-d, y-d, x-gd, y-gd, flow_f, flow_b
+                pts = [mk(x, y), mk(x + 1, y), mk(x, y + 1),
+                       mk(x - d_amt, y), mk(x, y - d_amt),
+                       mk(x - gd_amt, y), mk(x, y - gd_amt),
+                       match_f, match_b]
+                uv_fg9 = fg(jnp.concatenate(pts, axis=0))
+                uv_bg9 = bg(jnp.concatenate(pts, axis=0))
+                s = lambda arr, i: arr[i * n:(i + 1) * n]   # noqa: E731
+                # F_Alpha is needed at main, x+1, y+1 and the flow matches.
+                al5 = losses.scaled_alpha(al(jnp.concatenate(
+                    [pts[0], pts[1], pts[2], match_f, match_b], axis=0)))
+                alpha = s(al5, 0)
+                # F_Atlas at the six (uv, layer) sites the reconstructions
+                # need: quadrant shift applied per slice BEFORE the concat
+                # (atlas_rgb: fg -> +0.5, bg -> -0.5).
+                at6 = (at(jnp.concatenate(
+                    [s(uv_fg9, 0) * 0.5 + 0.5, s(uv_bg9, 0) * 0.5 - 0.5,
+                     s(uv_fg9, 1) * 0.5 + 0.5, s(uv_bg9, 1) * 0.5 - 0.5,
+                     s(uv_fg9, 2) * 0.5 + 0.5, s(uv_bg9, 2) * 0.5 - 0.5],
+                    axis=0)) + 1.0) * 0.5
+                rgb_fg = s(at6, 0)
+
+                def recon(i, a):
+                    return (s(at6, 2 * i) * a
+                            + s(at6, 2 * i + 1) * (1.0 - a))
+
+                rgb_out = recon(0, alpha)
+                uv_fg, uv_bg = s(uv_fg9, 0), s(uv_bg9, 0)
 
                 ld = {}
                 total = 0.0
-                ld['gradient_loss'] = losses.gradient_loss(
-                    xyf, rgb_out, dx_gt, dy_gt, fg, bg, al, at,
-                    self.norm_s, self.norm_t)
+                ld['gradient_loss'] = losses.gradient_loss_pre(
+                    rgb_out, recon(1, s(al5, 1)), recon(2, s(al5, 2)),
+                    dx_gt, dy_gt)
                 total += w_rec['gradient_loss_weight'] * ld['gradient_loss']
 
                 ld['rgb_loss'] = losses.rgb_loss(rgb_out, rgb_gt)
@@ -169,36 +206,35 @@ class AtlasTrainer:
                 total += (cfg['sparsity_loss']['sparsity_loss_weight']
                           * ld['sparsity_loss'])
 
-                for tag, mapper, uv in (('fg', fg, uv_fg), ('bg', bg, uv_bg)):
-                    r = losses.rigidity_loss(
-                        xyf, uv, mapper, d_amt, self.larger_dim,
-                        self.uv_scale, self.norm_s, self.norm_t)
+                for tag, uv9, uv in (('fg', uv_fg9, uv_fg),
+                                     ('bg', uv_bg9, uv_bg)):
+                    r = losses.rigidity_loss_pre(
+                        uv, s(uv9, 3), s(uv9, 4), d_amt,
+                        self.larger_dim, self.uv_scale)
                     ld[f'rigidity_loss_{tag}'] = r
                     total += cfg['rigidity_loss']['rigidity_loss_weight'] * r
-                    g = losses.rigidity_loss(
-                        xyf, uv, mapper, gd_amt, self.larger_dim,
-                        self.uv_scale, self.norm_s, self.norm_t)
+                    g = losses.rigidity_loss_pre(
+                        uv, s(uv9, 5), s(uv9, 6), gd_amt,
+                        self.larger_dim, self.uv_scale)
                     ld[f'global_rigidity_loss_{tag}'] = g
                     total += jnp.where(
                         global_step <= pre_grigid,
                         cfg['rigidity_loss']
                         [f'global_rigidity_{tag}_loss_weight'] * g, 0.0)
 
-                for tag, mapper, uv, a in (
-                        ('fg', fg, uv_fg, alpha),
-                        ('bg', bg, uv_bg, 1 - alpha)):
-                    fl = losses.optical_flow_loss(
-                        xyf, uv, mapper, data['flows'], data['flow_masks'],
-                        data['flows_rev'], data['flow_masks_rev'],
-                        self.larger_dim, self.uv_scale, self.norm_s,
-                        self.norm_t, alpha=a)
+                valid_f = data['flow_masks'][f, y, x]
+                valid_b = data['flow_masks_rev'][f, y, x]
+                for tag, uv9, uv, a in (
+                        ('fg', uv_fg9, uv_fg, alpha),
+                        ('bg', uv_bg9, uv_bg, 1 - alpha)):
+                    fl = losses.optical_flow_loss_pre(
+                        uv, s(uv9, 7), s(uv9, 8), valid_f, valid_b,
+                        self.larger_dim, self.uv_scale, alpha=a)
                     ld[f'flow_loss_{tag}'] = fl
                     total += cfg['flow_loss']['flow_loss_weight'] * fl
 
-                fa = losses.optical_flow_alpha_loss(
-                    xyf, alpha, al, data['flows'], data['flow_masks'],
-                    data['flows_rev'], data['flow_masks_rev'],
-                    self.norm_s, self.norm_t)
+                fa = losses.optical_flow_alpha_loss_pre(
+                    alpha, s(al5, 3), s(al5, 4), valid_f, valid_b)
                 ld['flow_alpha_loss'] = fa
                 total += cfg['flow_loss']['alpha_flow_loss_weight'] * fa
 
