@@ -13,6 +13,14 @@ reference's CUDA tinycudann pieces map to TPU as:
   batch (10k points) keeps the MXU busy in the MLP.
 - tcnn FullyFusedMLP -> the same 'origin' MLP; "fully fused" on TPU is
   XLA's job (small matmuls fuse into one kernel chain).
+
+Perf floor (v5e, measured 2026-08-18): the training-time bottleneck is the
+TABLE-GRADIENT SCATTER, ~42 ns/row independent of formulation — one big
+scatter-add, segment_sum, and sorted-segment_sum all tie (sorting adds
+cost). Forward gathers are ~8x cheaper per row. Batching evals (one apply
+over concatenated point sets, see atlas/trainer.py) does not change the
+scattered-row count, so it is perf-neutral; the row count itself
+(points x levels x 4 corners) is fixed by tcnn parity.
 """
 
 from __future__ import annotations
