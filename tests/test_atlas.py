@@ -249,7 +249,7 @@ def test_batched_step_matches_callable_losses(atlas_setup):
     dx_gt = data['dx'][f, y, x]
     dy_gt = data['dy'][f, y, x]
 
-    nets, cfg = trainer.nets, TRAIN_OPT['loss_cfg']
+    nets = trainer.nets
     fg = lambda p: nets['FG_UV_Mapping'].apply(   # noqa: E731
         params['FG_UV_Mapping'], p)
     bg = lambda p: nets['BG_UV_Mapping'].apply(   # noqa: E731

@@ -134,11 +134,10 @@ class AtlasTrainer:
             def loss_fn(main_params):
                 # Batched evaluation: every net is applied ONCE over the
                 # concatenation of all the point sets the losses need.
-                # Per-point math is unchanged (row-wise MLPs + gathers are
-                # independent across rows), but the hash-table gradient
-                # becomes ONE scatter pass instead of six — the scatter
-                # backward is ~28 ms/eval on v5e and dominated the step
-                # (bench_atlas_parts.py: hash fwd 4 ms, fwd+bwd 32 ms).
+                # Measured perf-neutral on v5e (the scatter backward cost is
+                # set by the total scattered-row count, which tcnn-parity
+                # fixes regardless of how evals are grouped); kept for
+                # structure and the batched-vs-callable parity test.
                 fg = lambda p: nets['FG_UV_Mapping'].apply(   # noqa: E731
                     main_params['FG_UV_Mapping'], p)
                 bg = lambda p: nets['BG_UV_Mapping'].apply(   # noqa: E731
@@ -163,8 +162,9 @@ class AtlasTrainer:
                        mk(x - d_amt, y), mk(x, y - d_amt),
                        mk(x - gd_amt, y), mk(x, y - gd_amt),
                        match_f, match_b]
-                uv_fg9 = fg(jnp.concatenate(pts, axis=0))
-                uv_bg9 = bg(jnp.concatenate(pts, axis=0))
+                pts9 = jnp.concatenate(pts, axis=0)
+                uv_fg9 = fg(pts9)
+                uv_bg9 = bg(pts9)
                 s = lambda arr, i: arr[i * n:(i + 1) * n]   # noqa: E731
                 # F_Alpha is needed at main, x+1, y+1 and the flow matches.
                 al5 = losses.scaled_alpha(al(jnp.concatenate(
