@@ -59,6 +59,7 @@ class VideoSwapTrainer:
     optimizer_cfg: dict = field(default_factory=dict)
     max_grad_norm: Optional[float] = None
     shardings: Any = None              # optional parallel.TrainSharding
+    return_grads: bool = False         # step() also returns grads (dryrun)
 
     def __post_init__(self):
         lr = float(self.optimizer_cfg.get('lr', 5e-4))
@@ -153,6 +154,10 @@ class VideoSwapTrainer:
             updates, opt_state = self.tx.update(grads, opt_state,
                                                 adapter_params)
             adapter_params = optax.apply_updates(adapter_params, updates)
+            if self.return_grads:
+                # the multichip dryrun asserts sharded grads == single-device
+                # grads without paying a second value_and_grad compile
+                return adapter_params, opt_state, loss, grads
             return adapter_params, opt_state, loss
 
         donate = (0, 1)

@@ -50,6 +50,20 @@ from videoswap_tpu.utils.image import postprocess_video, preprocess_video
 from videoswap_tpu.utils.registry import PIPELINE_REGISTRY
 
 
+def make_target_prompt(source_prompt: str, swap_cfg: dict) -> str:
+    """source prompt + swap config 'replace'/'replace_other' rules ->
+    target prompt (reference test-time prompt assembly; also reused by
+    test.py's CLIP-score metrics)."""
+    src_subj, tgt_subj = [s.strip() for s in swap_cfg['replace'].split('->')]
+    assert src_subj in source_prompt, 'source subject need in source prompt'
+    target_prompt = source_prompt.replace(src_subj, tgt_subj)
+    if 'replace_other' in swap_cfg:
+        so, to = [s.strip() for s in swap_cfg['replace_other'].split('->')]
+        assert so in target_prompt
+        target_prompt = target_prompt.replace(so, to)
+    return target_prompt
+
+
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
     """arXiv:2305.08891 §3.4 (reference pipeline :582-584)."""
     axes = tuple(range(1, noise_pred_text.ndim))
@@ -72,6 +86,8 @@ class VideoSwapPipeline:
     params: dict = field(default_factory=dict)   # unet/vae/text_encoder/adapter
     extra_token_embeds: Optional[jnp.ndarray] = None  # ED-LoRA concept rows
     new_concept_cfg: Optional[dict] = None
+    eager: bool = False  # skip ALL jit (op-by-op dispatch): the compile-free
+    #                      ground-truth path for the multichip dryrun
     _jit_cache: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------ text
@@ -95,6 +111,8 @@ class VideoSwapPipeline:
 
     # ----------------------------------------------------------------- cache
     def _cached(self, key, fn, **jit_kwargs):
+        if self.eager:
+            return fn
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(fn, **jit_kwargs)
         return self._jit_cache[key]
@@ -502,7 +520,11 @@ class VideoSwapPipeline:
         else:
             # all per-step slicing happens INSIDE the jit: an eager `ts[i]`
             # or xs_extra slice per step costs a ~10-20 ms axon round trip
-            # each (CLAUDE.md), ~1 s over a 50-step loop
+            # each (CLAUDE.md), ~1 s over a 50-step loop.
+            # loop='eager' skips jit entirely: op-by-op dispatch, zero XLA
+            # program compiles — the compile-free ground-truth path for the
+            # multichip dryrun's cold-cache budget (CPU only; on axon every
+            # eager op is a 10-20 ms round trip).
             def fn(params, carry, i, ts_arr, xs_extra, text, adapter_states,
                    estate):
                 step = {'i': i, 't': ts_arr[i]}
@@ -510,7 +532,7 @@ class VideoSwapPipeline:
                 return step_body(params, carry, step, text, adapter_states,
                                  estate)
 
-            step_jit = self._cached(key, fn)
+            step_jit = fn if loop == 'eager' else self._cached(key, fn)
             carry = init_carry(latents, sums0)
             for i in range(len(ts)):
                 carry = step_jit(self.params, carry, np.int32(i), ts,
@@ -649,14 +671,7 @@ class VideoSwapPipeline:
 
             src_subj, tgt_subj = [s.strip() for s in
                                   swap_cfg['replace'].split('->')]
-            assert src_subj in source_prompt, \
-                'source subject need in source prompt'
-            target_prompt = source_prompt.replace(src_subj, tgt_subj)
-            if 'replace_other' in swap_cfg:
-                so, to = [s.strip() for s in
-                          swap_cfg['replace_other'].split('->')]
-                assert so in target_prompt
-                target_prompt = target_prompt.replace(so, to)
+            target_prompt = make_target_prompt(source_prompt, swap_cfg)
 
             guidance_scale = swap_cfg.get(
                 'guidance_scale', cfg.get('guidance_scale', 7.5))
