@@ -39,10 +39,52 @@ def _to_float_video(frames) -> 'np.ndarray':
     return np.clip(arr, 0.0, 1.0)
 
 
-def report_metrics(source_video, results: dict, save_dir: str) -> dict:
+def _make_clip_scorer(opt: dict, root_path: str, tokenizer):
+    """Optional CLIP scorer from `path.clip_model_path` (a local
+    openai/clip-vit-large-patch14-style dir). Returns a
+    `score(frames, prompt) -> float` callable or None."""
+    import jax
+    import numpy as np
+
+    path = opt.get('path', {}).get('clip_model_path')
+    if not path:
+        return None
+    if not os.path.isabs(path):
+        path = os.path.join(root_path, path)
+    logger = get_logger()
+    if not os.path.isdir(path):
+        logger.warning(f'clip_model_path {path} missing; skipping '
+                       'CLIP scores')
+        return None
+    from videoswap_tpu.builders import build_clip_scorer
+    from videoswap_tpu.models.clip_vision import preprocess_frames
+    model, params = build_clip_scorer(path)
+    img_fn = jax.jit(lambda p, x: model.apply(p, x, method='image_embeds'))
+    txt_fn = jax.jit(lambda p, i: model.apply(p, i, method='text_embeds'))
+    vocab = model.text_cfg.vocab_size if model.text_cfg else 49408
+    size = model.vision_cfg.image_size
+
+    def score(frames, prompt: str) -> float:
+        pix = preprocess_frames(_to_float_video(frames), image_size=size)
+        ids = tokenizer(prompt, padding='max_length', truncation=True,
+                        max_length=77).input_ids
+        # ED-LoRA concept tokens (ids >= vocab) are unknown to vanilla CLIP
+        ids = np.minimum(np.asarray(ids, np.int32), vocab - 1)
+        img = img_fn(params, pix)                  # [F, D]
+        txt = txt_fn(params, ids)                  # [1, D]
+        s = np.maximum(np.asarray(img @ txt[0]), 0.0) * 100.0
+        return float(s.mean())
+
+    return score
+
+
+def report_metrics(source_video, results: dict, save_dir: str,
+                   clip_scorer=None, prompts: dict | None = None) -> dict:
     """Quality diagnostics per edit: PSNR vs the source (background/identity
-    preservation proxy) and temporal consistency (flicker proxy; compare
-    against the source's own value, not in absolute). Logged and written to
+    preservation proxy), temporal consistency (flicker proxy; compare
+    against the source's own value, not in absolute), and — when a CLIP
+    scorer is configured (path.clip_model_path) — CLIP(frame, target
+    prompt), the BASELINE.md "CLIP parity" number. Logged and written to
     `metrics.json`. The reference reports no quality numbers at swap time —
     this is the measurement surface BASELINE.md's quality parity check uses.
     """
@@ -51,9 +93,13 @@ def report_metrics(source_video, results: dict, save_dir: str) -> dict:
     from videoswap_tpu.utils.metrics import temporal_consistency, video_psnr
 
     logger = get_logger()
+    prompts = prompts or {}
     src = _to_float_video(source_video)
     report = {'source': {
         'temporal_consistency_db': round(temporal_consistency(src), 3)}}
+    if clip_scorer is not None and 'source' in prompts:
+        report['source']['clip_score'] = round(
+            clip_scorer(source_video, prompts['source']), 3)
     for key, frames in results.items():
         edit = _to_float_video(frames)
         h, w = edit.shape[1:3]
@@ -63,6 +109,8 @@ def report_metrics(source_video, results: dict, save_dir: str) -> dict:
             psnr_v = video_psnr(src[:, :h, :w], edit)
             entry['psnr_vs_source_db'] = (
                 None if np.isinf(psnr_v) else round(psnr_v, 3))
+        if clip_scorer is not None and key in prompts:
+            entry['clip_score'] = round(clip_scorer(frames, prompts[key]), 3)
         report[key] = entry
         logger.info(f'metrics[{key}]: {entry}')
     with open(os.path.join(save_dir, 'metrics.json'), 'w') as f:
@@ -137,7 +185,17 @@ def test(root_path: str, opt_path: str, shard: str | None = None) -> None:
     for key, frames in results.items():
         save_video_to_dir(frames, os.path.join(save_dir, key),
                           save_suffix=key, save_type=save_type)
-    report_metrics(source_video, results, save_dir)
+    clip_scorer = _make_clip_scorer(opt, root_path, models['tokenizer'])
+    prompts = None
+    if clip_scorer is not None:
+        from videoswap_tpu.pipelines.videoswap_pipeline import \
+            make_target_prompt
+        edit_cfg = opt['val']['editing_config']
+        prompts = {'source': dataset.prompt}
+        for key, swap_cfg in edit_cfg.get('editing_prompts', {}).items():
+            prompts[key] = make_target_prompt(dataset.prompt, swap_cfg)
+    report_metrics(source_video, results, save_dir,
+                   clip_scorer=clip_scorer, prompts=prompts)
     if mesh_ctx is not None:
         mesh_ctx.close()
     logger.info(f'results saved to {save_dir}')

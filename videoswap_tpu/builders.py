@@ -209,6 +209,56 @@ def build_models(opt: dict, root_path: str, dtype=jnp.float32,
                 params=params)
 
 
+def build_clip_scorer(path: str, dtype=jnp.float32):
+    """openai/clip-vit-large-patch14-style local dir -> (model, params).
+
+    Sizes the model from config.json (text_config/vision_config) and loads
+    pytorch_model.bin when present; otherwise random init (smoke mode —
+    logged, the scores are then only a self-consistent relative signal)."""
+    from videoswap_tpu.models.clip_vision import (CLIPVisionConfig,
+                                                  CLIPWithProjection)
+    logger = get_logger()
+    vc, tc, proj = {}, {}, 768
+    cfg_file = os.path.join(path, 'config.json')
+    if os.path.isfile(cfg_file):
+        with open(cfg_file) as f:
+            c = json.load(f)
+        vc = c.get('vision_config', {})
+        tc = c.get('text_config', {})
+        proj = c.get('projection_dim', 768)
+    vision_cfg = CLIPVisionConfig(
+        image_size=vc.get('image_size', 224),
+        patch_size=vc.get('patch_size', 14),
+        hidden_size=vc.get('hidden_size', 1024),
+        num_layers=vc.get('num_hidden_layers', 24),
+        num_heads=vc.get('num_attention_heads', 16),
+        intermediate_size=vc.get('intermediate_size', 4096),
+        projection_dim=proj)
+    text_cfg = CLIPTextConfig(
+        vocab_size=tc.get('vocab_size', 49408),
+        hidden_size=tc.get('hidden_size', 768),
+        num_layers=tc.get('num_hidden_layers', 12),
+        num_heads=tc.get('num_attention_heads', 12),
+        max_position_embeddings=tc.get('max_position_embeddings', 77),
+        intermediate_size=tc.get('intermediate_size', 3072))
+    model = CLIPWithProjection(vision_cfg=vision_cfg, text_cfg=text_cfg,
+                               dtype=dtype)
+    s = vision_cfg.image_size
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)),
+        jnp.zeros((1, text_cfg.max_position_embeddings), jnp.int32))
+    sd = _torch_bin(path, 'pytorch_model.bin', 'model.bin')
+    if sd is not None:
+        params = {'params': converters.convert_clip_full(
+            sd, params['params'])}
+        logger.info(f'loaded CLIP scorer weights from {path}')
+    else:
+        logger.warning(f'no CLIP weights at {path}; scorer is random-init '
+                       '(smoke mode — clip scores are not comparable '
+                       'across runs)')
+    return model, params
+
+
 # --------------------------------------------------------------- checkpoints
 def save_adapter_checkpoint(path: str, adapter_params) -> None:
     """Adapter state as .msgpack (flax serialization). Multi-host: only

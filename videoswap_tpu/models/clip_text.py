@@ -35,11 +35,15 @@ def quick_gelu(x):
 
 
 class CLIPAttention(nn.Module):
+    """Shared by the text tower and the vision tower
+    (models/clip_vision.py): `cfg` is any config NamedTuple with
+    hidden_size/num_heads/intermediate_size/layer_norm_eps;
+    causal_mask=None means bidirectional (vision)."""
     cfg: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, causal_mask):
+    def __call__(self, x, causal_mask=None):
         cfg = self.cfg
         d = cfg.hidden_size
         h = cfg.num_heads
@@ -52,7 +56,8 @@ class CLIPAttention(nn.Module):
                    for t in (q, k, v))
         logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                             preferred_element_type=jnp.float32)
-        logits = jnp.where(causal_mask, logits, -1e9)
+        if causal_mask is not None:
+            logits = jnp.where(causal_mask, logits, -1e9)
         probs = nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum('bhqk,bhkd->bhqd', probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
@@ -64,7 +69,7 @@ class CLIPEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, causal_mask):
+    def __call__(self, x, causal_mask=None):
         cfg = self.cfg
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name='layer_norm1')(x)

@@ -200,5 +200,40 @@ def convert_text_encoder(torch_sd: dict, flax_params: dict):
                               strict=True)[0]
 
 
+_VISION_EMBED_PREFIXES = ('class_embedding', 'patch_embedding',
+                          'position_embedding')
+
+
+def clip_vision_key_map(key: str) -> str:
+    """flax 'layers.0...' -> transformers 'vision_model.encoder.layers.0...'
+    (standalone CLIPVisionModel state dict)."""
+    if key.startswith(_VISION_EMBED_PREFIXES):
+        return 'vision_model.embeddings.' + key
+    if key.startswith('layers.'):
+        return 'vision_model.encoder.' + key
+    return 'vision_model.' + key
+
+
+def clip_full_key_map(key: str) -> str:
+    """Key map for the full CLIPModel layout (both towers + projections),
+    consumed by models/clip_vision.CLIPWithProjection."""
+    if key.startswith('text_model.'):
+        return clip_key_map(key[len('text_model.'):])
+    if key.startswith('vision_model.'):
+        return clip_vision_key_map(key[len('vision_model.'):])
+    return key   # visual_projection.weight / text_projection.weight
+
+
+def convert_clip_vision(torch_sd: dict, flax_params: dict):
+    return convert_state_dict(torch_sd, flax_params,
+                              key_map=clip_vision_key_map, strict=True)[0]
+
+
+def convert_clip_full(torch_sd: dict, flax_params: dict):
+    sd = {k: v for k, v in torch_sd.items() if k != 'logit_scale'}
+    return convert_state_dict(sd, flax_params,
+                              key_map=clip_full_key_map, strict=True)[0]
+
+
 def convert_adapter(torch_sd: dict, flax_params: dict):
     return convert_state_dict(torch_sd, flax_params, strict=True)[0]

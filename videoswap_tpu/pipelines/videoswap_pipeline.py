@@ -88,7 +88,17 @@ class VideoSwapPipeline:
     new_concept_cfg: Optional[dict] = None
     eager: bool = False  # skip ALL jit (op-by-op dispatch): the compile-free
     #                      ground-truth path for the multichip dryrun
+    mesh: Any = None     # set by parallel.shard_pipeline: dp/sp-shard the
+    #                      source pixels and sampling latents (tp rides the
+    #                      already-sharded U-Net params)
     _jit_cache: dict = field(default_factory=dict)
+
+    def _shard_video(self, x, frame_axis: int = 1):
+        if self.mesh is None:
+            return x
+        from videoswap_tpu.parallel.sharding import video_sharding
+        return jax.device_put(
+            x, video_sharding(self.mesh, x.shape, frame_axis))
 
     # ------------------------------------------------------------------ text
     def encode_prompt_ids(self, prompts: list[str]) -> np.ndarray:
@@ -183,6 +193,7 @@ class VideoSwapPipeline:
         pixels = jnp.asarray(preprocess_video(video)) \
             if not isinstance(video, (jnp.ndarray, np.ndarray)) \
             else jnp.asarray(video)
+        pixels = self._shard_video(pixels)
         text = self.encode_prompt([prompt])
         ts = jnp.asarray(ddim_inverse_timesteps(
             self.sched.num_train_timesteps, num_inference_steps))
@@ -326,7 +337,7 @@ class VideoSwapPipeline:
             latents = (jax.random.normal(
                 rng, (1, video_length, h8, w8, 4), jnp.float32)
                 * self.sched.init_noise_sigma).astype(text.dtype)
-        latents = jnp.asarray(latents).astype(text.dtype)
+        latents = self._shard_video(jnp.asarray(latents).astype(text.dtype))
 
         adapter_states = self._adapter_states(
             conditions, (width, height), t2i_guidance_scale, do_cfg)
