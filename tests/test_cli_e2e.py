@@ -89,10 +89,28 @@ def test_train_then_test_cli(tmp_path):
     assert (exp / 'visualization' / 'iter_3').is_dir(), 'no validation out'
 
     # ---- test.py consuming the trained checkpoint -------------------------
+    # tiny CLIP scorer dir: config.json only -> random-init scorer path
+    # (weighted path is covered by test_clip_vision.py parity)
+    clip_dir = tmp_path / 'clip'
+    clip_dir.mkdir()
+    import json
+    with open(clip_dir / 'config.json', 'w') as f:
+        json.dump({'projection_dim': 16,
+                   'text_config': {'vocab_size': 49408, 'hidden_size': 16,
+                                   'num_hidden_layers': 1,
+                                   'num_attention_heads': 4,
+                                   'max_position_embeddings': 77,
+                                   'intermediate_size': 32},
+                   'vision_config': {'image_size': 28, 'patch_size': 14,
+                                     'hidden_size': 16,
+                                     'num_hidden_layers': 1,
+                                     'num_attention_heads': 4,
+                                     'intermediate_size': 32}}, f)
     test_cfg = {
         'name': 'smoke_test', 'manual_seed': 7, 'mixed_precision': 'no',
         'datasets': datasets, 'models': TINY_MODELS,
-        'path': {'pretrained_adapter_path': str(ckpt)},
+        'path': {'pretrained_adapter_path': str(ckpt),
+                 'clip_model_path': str(clip_dir)},
         'val': {'save_type': 'frame', 'editing_config': editing_config},
     }
     tcfg_path = tmp_path / 'test_smoke.yml'
@@ -108,12 +126,15 @@ def test_train_then_test_cli(tmp_path):
     assert len(frame_files) == 2, f'expected 2 frames, got {frame_files}'
 
     # quality metrics report written alongside the videos
-    import json
     with open(res / 'metrics.json') as f:
         metrics = json.load(f)
     assert {'source', 'cat2dog'} <= set(metrics)
     assert metrics['source']['temporal_consistency_db'] is not None
     assert 'psnr_vs_source_db' in metrics['cat2dog']
+    # CLIP(frame, prompt) present for the source and every edit
+    import numpy as np
+    assert np.isfinite(metrics['source']['clip_score'])
+    assert np.isfinite(metrics['cat2dog']['clip_score'])
 
 
 def test_long_video_cli(tmp_path):
@@ -169,8 +190,9 @@ def test_long_video_cli(tmp_path):
 
 def test_sharded_cli(tmp_path):
     """`test.py --shard 1,2,4` on the virtual 8-device mesh: the multi-chip
-    inference path (sp frame sharding + Megatron tp U-Net sharding) reached
-    purely through the CLI surface."""
+    inference path (sp frame sharding of pixels/latents + Megatron tp U-Net
+    sharding) reached purely through the CLI surface — then the SAME config
+    unsharded, asserting the output frames match."""
     from scripts.make_smoke_dataset import make
     data_dir = tmp_path / 'data'
     make(str(data_dir), frames=4, size=64)
@@ -211,3 +233,21 @@ def test_sharded_cli(tmp_path):
     res = tmp_path / 'results' / 'smoke_shard' / 'visualization'
     frame_files = list((res / 'cat2dog').rglob('*.jpg'))
     assert len(frame_files) == 4, f'expected 4 frames, got {frame_files}'
+
+    # ---- numerical equivalence vs the unsharded run ------------------------
+    test_cfg['name'] = 'smoke_noshard'
+    ncfg_path = tmp_path / 'test_noshard.yml'
+    _write_cfg(ncfg_path, test_cfg)
+    test_mod.test(str(tmp_path), str(ncfg_path), shard=None)
+    res_ref = tmp_path / 'results' / 'smoke_noshard' / 'visualization'
+
+    import numpy as np
+    from PIL import Image
+    for f in sorted((res / 'cat2dog').rglob('*.jpg')):
+        ref = res_ref / 'cat2dog' / f.relative_to(res / 'cat2dog')
+        a = np.asarray(Image.open(f), np.float32)
+        b = np.asarray(Image.open(ref), np.float32)
+        # identical math modulo GSPMD collective reduction order; JPEG
+        # re-encode of near-identical pixels stays within a few LSB
+        assert np.abs(a - b).max() <= 4, f'{f.name}: sharded != unsharded'
+        assert np.abs(a - b).mean() <= 0.5, f'{f.name}: sharded drifted'

@@ -51,6 +51,18 @@ def batch_sharding(mesh, ndim: int, frame_axis: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def video_sharding(mesh, shape, frame_axis: int = 1) -> NamedSharding:
+    """batch_sharding that degrades gracefully: an axis only shards when
+    its extent divides the mesh axis (B=1 with dp>1 stays replicated
+    instead of erroring) — the safe variant for CLI-provided shapes."""
+    spec = [None] * len(shape)
+    if shape[0] % mesh.shape['dp'] == 0:
+        spec[0] = 'dp'
+    if shape[frame_axis] % mesh.shape['sp'] == 0:
+        spec[frame_axis] = 'sp'
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_batch(batch: dict, mesh) -> dict:
     """Shard the trainer batch dict onto the mesh."""
     out = {}
@@ -67,11 +79,11 @@ def shard_batch(batch: dict, mesh) -> dict:
 
 def shard_pipeline(pipe, mesh):
     """One-liner sharded inference: returns a NEW VideoSwapPipeline whose
-    U-Net params are Megatron tp-sharded and whose VAE/text-encoder/adapter
-    params are replicated over `mesh`. Latents handed to `pipe.sample`
-    should carry `batch_sharding(mesh, ...)` (or be host arrays — GSPMD
-    propagates from the params). The DP analogue of the reference's
-    accelerate-prepared inference (reference train.py:135, test.py:28)."""
+    U-Net params are Megatron tp-sharded, whose VAE/text-encoder/adapter
+    params are replicated over `mesh`, and whose `mesh` field is set so the
+    pipeline dp/sp-shards source pixels and sampling latents itself
+    (video_sharding). The analogue of the reference's accelerate-prepared
+    inference (reference train.py:135, test.py:28)."""
     import dataclasses
 
     sharded = {}
@@ -82,8 +94,9 @@ def shard_pipeline(pipe, mesh):
             sharded[name] = jax.tree.map(
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
     if dataclasses.is_dataclass(pipe):
-        return dataclasses.replace(pipe, params=sharded)
+        return dataclasses.replace(pipe, params=sharded, mesh=mesh)
     import copy
     clone = copy.copy(pipe)
     clone.params = sharded
+    clone.mesh = mesh
     return clone
