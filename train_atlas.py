@@ -136,7 +136,11 @@ def train(root_path: str, args) -> None:
                 nets, params, data_np['video'],
                 opt['datasets']['res_x'], opt['datasets']['res_y'],
                 num_frames, trainer.norm_s, trainer.norm_t,
-                save_dir=save_dir)
+                save_dir=save_dir, data=data_np,
+                full=bool(opt.get('val', {}).get('full_eval', False)),
+                uv_mapping_scale=trainer.uv_scale,
+                derivative_amount=int(opt['train'].get(
+                    'derivative_amount', 1)))
             logger.info(f'Validation Reconstruction PSNR: {val:.4f}')
 
             if 'FG_UV_Mapping_Inverse' in params:

@@ -1,13 +1,25 @@
-"""Atlas evaluation: full-video reconstruction, PSNR, layer visualizations.
+"""Atlas evaluation: reconstruction PSNR, adaptive high-res textures,
+texture-edit re-rendering, and per-pixel loss visualization videos.
 
-Parity: /root/reference/videoswap/atlas/evaluate.py:202-591 (core outputs:
-reconstructed video, alpha video, FG/BG layer videos, reconstruction PSNR
-:516-519). PSNR is computed directly (no skimage in this image). Texture
-dumps/checkerboard re-rendering come with the editing tooling.
+Parity: /root/reference/videoswap/atlas/evaluate.py —
+- `get_mapping_area` (:143-187): adaptive UV bounding box of the pixels a
+  mapping network actually uses (alpha-gated);
+- `get_high_res_texture` (:89-127): sample F_Atlas over that box;
+- texture-edit re-render (:344-419 via `get_colors`/`bilinear_interpolate
+  _numpy` :24-85): map every video pixel into the (possibly user-edited)
+  texture image and composite by alpha — the texture-edit user workflow;
+- per-pixel loss videos + global info panel (:202-591).
+
+TPU-first shape: all net evaluations run as jitted full-frame batches
+(the reference loops 100k-row torch chunks); texture sampling and video
+encoding are host-side numpy. The reference's cv2.putText editability
+pattern is replaced by a procedural hue-stripe pattern (no cv2 in this
+image) — same purpose: make the mapping visible in re-rendered videos.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -35,7 +47,7 @@ def reconstruct_video(nets, params, res_x: int, res_y: int, num_frames: int,
         rgb, rgb_fg, rgb_bg = losses.reconstruct_rgb(fg, bg, alpha, atlas)
         return rgb, rgb_fg, rgb_bg, alpha, fg, bg
 
-    out = {k: [] for k in ('rgb', 'fg', 'bg', 'alpha')}
+    out = {k: [] for k in ('rgb', 'fg', 'bg', 'alpha', 'uv_fg', 'uv_bg')}
     for f in range(num_frames):
         rows = {k: [] for k in out}
         for i in range(0, len(coords), chunk):
@@ -43,47 +55,443 @@ def reconstruct_video(nets, params, res_x: int, res_y: int, num_frames: int,
             xyt = np.stack([norm_s(c[:, 0]), norm_s(c[:, 1]),
                             np.full(len(c), norm_t(f))],
                            axis=-1).astype(np.float32)
-            rgb, rgb_fg, rgb_bg, alpha, _, _ = jax.device_get(
+            rgb, rgb_fg, rgb_bg, alpha, uv_fg, uv_bg = jax.device_get(
                 eval_chunk(params, jnp.asarray(xyt)))
             rows['rgb'].append(rgb)
             rows['fg'].append(rgb_fg)
             rows['bg'].append(rgb_bg)
             rows['alpha'].append(alpha)
+            rows['uv_fg'].append(uv_fg)
+            rows['uv_bg'].append(uv_bg)
         for k in out:
             ch = rows[k][0].shape[-1]
             out[k].append(np.concatenate(rows[k]).reshape(res_y, res_x, ch))
     return {k: np.stack(v) for k, v in out.items()}
 
 
+# --------------------------------------------------------------- textures
+def get_mapping_area(nets, params, mask: np.ndarray, larger_dim: int,
+                     num_frames: int, uv_shift, norm_s, norm_t, *,
+                     mapping: str = 'BG_UV_Mapping',
+                     invert_alpha: bool = False,
+                     alpha_thresh: float = -0.5,
+                     chunk: int = 100_000) -> dict:
+    """UV bounding box of the pixels `mapping` sends into its atlas
+    quadrant, gated by raw alpha (reference evaluate.py:143-187).
+
+    mask: (F, H, W) bool — only these pixels are considered. Returns
+    {minx, miny, maxx, maxy, edge} with the reference's [-1, 1] clamps."""
+
+    @jax.jit
+    def chunk_minmax(params, xyt, valid):
+        uv = (nets[mapping].apply(params[mapping], xyt) * 0.5
+              + jnp.asarray(uv_shift, jnp.float32))
+        raw = nets['F_Alpha'].apply(params['F_Alpha'], xyt)[:, 0]
+        a = -raw if invert_alpha else raw
+        ok = valid & (a > alpha_thresh)
+        lo = jnp.where(ok[:, None], uv, jnp.inf).min(axis=0)
+        hi = jnp.where(ok[:, None], uv, -jnp.inf).max(axis=0)
+        return lo, hi
+
+    fs, ys, xs = np.where(mask)
+    lo = np.asarray([np.inf, np.inf], np.float32)
+    hi = -lo
+    for i in range(0, len(fs), chunk):
+        sl = slice(i, i + chunk)
+        n = len(fs[sl])
+        pad = -n % 256  # keep jit shapes to a few chunk sizes
+        xyt = np.stack([norm_s(xs[sl]), norm_s(ys[sl]), norm_t(fs[sl])],
+                       axis=-1).astype(np.float32)
+        valid = np.ones(n, bool)
+        if pad:
+            xyt = np.concatenate([xyt, np.zeros((pad, 3), np.float32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        clo, chi = jax.device_get(chunk_minmax(params, jnp.asarray(xyt),
+                                               jnp.asarray(valid)))
+        lo = np.minimum(lo, clo)
+        hi = np.maximum(hi, chi)
+    lo = np.maximum(lo, -1.0)
+    hi = np.minimum(hi, 1.0)
+    if not np.all(np.isfinite(lo)) or not np.all(np.isfinite(hi)):
+        lo = np.asarray([-1.0, -1.0]) if invert_alpha else np.zeros(2)
+        hi = lo + 1.0
+    edge = float(max(hi[0] - lo[0], hi[1] - lo[1]))
+    return dict(minx=float(lo[0]), miny=float(lo[1]),
+                maxx=float(hi[0]), maxy=float(hi[1]), edge=edge)
+
+
+def get_high_res_texture(nets, params, resolution: int, minx: float,
+                         maxx: float, miny: float, maxy: float,
+                         chunk: int = 65536) -> np.ndarray:
+    """Sample F_Atlas over [minx,maxx]x[miny,maxy] (reference :89-105);
+    row i is y=miny..maxy, column j is x. Returns (res, res, 3) in [0,1]."""
+    us = np.linspace(minx, maxx, resolution, dtype=np.float32)
+    vs = np.linspace(miny, maxy, resolution, dtype=np.float32)
+    uu, vv = np.meshgrid(us, vs)
+    uv = np.stack([uu.reshape(-1), vv.reshape(-1)], -1)
+
+    @jax.jit
+    def f(params, uv):
+        return (nets['F_Atlas'].apply(params['F_Atlas'], uv) + 1.0) * 0.5
+
+    out = [np.asarray(f(params, jnp.asarray(uv[i:i + chunk])))
+           for i in range(0, len(uv), chunk)]
+    return np.concatenate(out).reshape(resolution, resolution, 3)
+
+
+def apply_edit_pattern(texture: np.ndarray) -> np.ndarray:
+    """Overlay a hue-varying stripe/checker pattern so the mapping becomes
+    visible in re-rendered video (stands in for the reference's
+    cv2.putText text rows, evaluate.py:107-125; cv2 is unavailable)."""
+    tex = texture.copy()
+    res = tex.shape[0]
+    ys, xs = np.mgrid[0:res, 0:res]
+    period = max(res // 12, 8)
+    stripe = ((xs + ys) // (period // 2)) % 4 == 0
+    hue = (ys // period).astype(np.float32) / max(res // period, 1)
+    color = np.stack([np.abs(np.cos(2 * np.pi * (hue + s)))
+                      for s in (0.0, 1 / 3, 2 / 3)], axis=-1)
+    tex[stripe] = color[stripe]
+    return tex
+
+
+def sample_texture(texture: np.ndarray, box: dict, u, v):
+    """Map UV points (already in atlas coordinates, i.e. uv*0.5+shift)
+    into texture pixel space and bilinear-sample (reference
+    `get_colors`/`bilinear_interpolate_numpy`, evaluate.py:24-85).
+
+    Returns (colors [N, 3], relevant mask [N], px [N], py [N])."""
+    res = texture.shape[0]
+    pixel = res / max(box['edge'], 1e-8)
+    px = (np.asarray(u) - box['minx']) * pixel
+    py = (np.asarray(v) - box['miny']) * pixel
+    relevant = ((np.floor(px) >= 0) & (np.floor(py) >= 0)
+                & (np.ceil(px) < res) & (np.ceil(py) < res))
+    x0 = np.clip(np.floor(px).astype(int), 0, res - 1)
+    y0 = np.clip(np.floor(py).astype(int), 0, res - 1)
+    x1 = np.clip(x0 + 1, 0, res - 1)
+    y1 = np.clip(y0 + 1, 0, res - 1)
+    wa = (x1 - px) * (y1 - py)
+    wb = (x1 - px) * (py - y0)
+    wc = (px - x0) * (y1 - py)
+    wd = (px - x0) * (py - y0)
+    colors = (texture[y0, x0] * wa[:, None] + texture[y1, x0] * wb[:, None]
+              + texture[y0, x1] * wc[:, None]
+              + texture[y1, x1] * wd[:, None])
+    return colors, relevant, px, py
+
+
+def render_edited_video(nets, params, res_x: int, res_y: int,
+                        num_frames: int, norm_s, norm_t, *,
+                        tex_fg: np.ndarray, box_fg: dict,
+                        tex_bg: np.ndarray, box_bg: dict,
+                        rec: dict | None = None):
+    """Re-render the video from (possibly user-edited) texture images —
+    the texture-edit workflow (reference evaluate.py:344-419).
+
+    Returns dict with 'edit' (alpha composite of both edited layers),
+    'edit_fg'/'edit_bg' (single layers), and the per-texture used-area
+    masks ('mask_fg' alpha-max-splatted, 'mask_bg' binary)."""
+    if rec is None:
+        rec = reconstruct_video(nets, params, res_x, res_y, num_frames,
+                                norm_s, norm_t)
+    hw = (res_y, res_x)
+    edit = np.zeros((num_frames, *hw, 3), np.float32)
+    edit_fg = np.zeros_like(edit)
+    edit_bg = np.zeros_like(edit)
+    mask_fg = np.zeros(tex_fg.shape[:2], np.float32)
+    mask_bg = np.zeros(tex_bg.shape[:2], np.float32)
+    for f in range(num_frames):
+        a = rec['alpha'][f].reshape(-1)
+        uv1 = rec['uv_fg'][f].reshape(-1, 2) * 0.5 + 0.5
+        uv2 = rec['uv_bg'][f].reshape(-1, 2) * 0.5 - 0.5
+        c1, rel1, px1, py1 = sample_texture(tex_fg, box_fg,
+                                            uv1[:, 0], uv1[:, 1])
+        c2, rel2, px2, py2 = sample_texture(tex_bg, box_bg,
+                                            uv2[:, 0], uv2[:, 1])
+        fg_frame = np.zeros((res_y * res_x, 3), np.float32)
+        fg_frame[rel1] = c1[rel1] * a[rel1, None]
+        bg_frame = np.zeros_like(fg_frame)
+        bg_frame[rel2] = c2[rel2]
+        comp = fg_frame + bg_frame * (1 - a[:, None])
+        edit[f] = comp.reshape(*hw, 3)
+        edit_fg[f] = fg_frame.reshape(*hw, 3)
+        edit_bg[f] = bg_frame.reshape(*hw, 3)
+        # used-area masks: max-splat alpha onto the 4 texture neighbors
+        # (reference :371-397)
+        for ox in (np.floor, np.ceil):
+            for oy in (np.floor, np.ceil):
+                ix = np.clip(ox(px1[rel1]).astype(int), 0,
+                             tex_fg.shape[1] - 1)
+                iy = np.clip(oy(py1[rel1]).astype(int), 0,
+                             tex_fg.shape[0] - 1)
+                np.maximum.at(mask_fg, (iy, ix), a[rel1])
+                jx = np.clip(ox(px2[rel2]).astype(int), 0,
+                             tex_bg.shape[1] - 1)
+                jy = np.clip(oy(py2[rel2]).astype(int), 0,
+                             tex_bg.shape[0] - 1)
+                mask_bg[jy, jx] = 1.0
+    return dict(edit=edit, edit_fg=edit_fg, edit_bg=edit_bg,
+                mask_fg=mask_fg, mask_bg=mask_bg)
+
+
+# --------------------------------------------------- per-pixel loss videos
+def compute_loss_videos(nets, params, data: dict, res_x: int, res_y: int,
+                        num_frames: int, norm_s, norm_t, larger_dim: int,
+                        *, derivative_amount: int = 1,
+                        uv_mapping_scale: float = 0.8,
+                        chunk: int = 131072) -> dict:
+    """Per-pixel loss maps for every frame (reference evaluate.py:305-332
+    + :408-414): rigidity fg/bg, forward-flow fg/bg, flow-alpha, rgb error
+    and residual. Returns dict of (F, H, W[, C]) float arrays."""
+    d = derivative_amount
+
+    @jax.jit
+    def frame_eval(params, xyf, video_gt, flows, flow_masks):
+        x, y, f = xyf[:, 0], xyf[:, 1], xyf[:, 2]
+
+        def mk(px, py, pf=None):
+            return jnp.stack(
+                [norm_s(px), norm_s(py), norm_t(f if pf is None else pf)],
+                axis=-1).astype(jnp.float32)
+
+        fg = lambda p: nets['FG_UV_Mapping'].apply(    # noqa: E731
+            params['FG_UV_Mapping'], p)
+        bg = lambda p: nets['BG_UV_Mapping'].apply(    # noqa: E731
+            params['BG_UV_Mapping'], p)
+        al = lambda p: nets['F_Alpha'].apply(          # noqa: E731
+            params['F_Alpha'], p)
+        at = lambda p: nets['F_Atlas'].apply(          # noqa: E731
+            params['F_Atlas'], p)
+
+        pts = mk(x, y)
+        uv1, uv2 = fg(pts), bg(pts)
+        alpha = losses.scaled_alpha(al(pts))
+        rgb, _, _ = losses.reconstruct_rgb(uv1, uv2, alpha, at)
+
+        rig1 = losses.rigidity_loss_all(
+            uv1, fg(mk(x - d, y)), fg(mk(x, y - d)), d, larger_dim,
+            uv_mapping_scale)
+        rig2 = losses.rigidity_loss_all(
+            uv2, bg(mk(x - d, y)), bg(mk(x, y - d)), d, larger_dim,
+            uv_mapping_scale)
+
+        match_f = losses._flow_match_coords(xyf, flows, 1, norm_s, norm_t)
+        valid_f = flow_masks[f, y, x]
+        fl1 = losses.optical_flow_loss_all(
+            uv1, fg(match_f), valid_f, larger_dim, uv_mapping_scale,
+            alpha=alpha)
+        fl2 = losses.optical_flow_loss_all(
+            uv2, bg(match_f), valid_f, larger_dim, uv_mapping_scale,
+            alpha=1.0 - alpha)
+        fla = losses.flow_alpha_loss_all(
+            alpha, losses.scaled_alpha(al(match_f)), valid_f)
+
+        residual = video_gt - rgb
+        err = jnp.sum(residual * residual, axis=-1)
+        return rig1, rig2, fl1, fl2, fla, err, residual
+
+    hw = (res_y, res_x)
+    out = {k: np.zeros((num_frames, *hw), np.float32)
+           for k in ('rigidity_fg', 'rigidity_bg', 'flow_fg', 'flow_bg',
+                     'flow_alpha', 'rgb_error')}
+    out['rgb_residual'] = np.zeros((num_frames, *hw, 3), np.float32)
+    xs, ys = np.meshgrid(np.arange(res_x), np.arange(res_y))
+    coords = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
+    for f in range(num_frames):
+        rows = {k: [] for k in out}
+        for i in range(0, len(coords), chunk):
+            c = coords[i:i + chunk]
+            xyf = np.concatenate(
+                [c, np.full((len(c), 1), f, np.int32)], axis=-1)
+            gt = data['video'][f].reshape(-1, 3)[i:i + chunk]
+            r1, r2, f1, f2, fa, er, res_ = jax.device_get(frame_eval(
+                params, jnp.asarray(xyf), jnp.asarray(gt),
+                data['flows'], data['flow_masks']))
+            # the last frame has no forward flow (reference :327-329)
+            if f == num_frames - 1:
+                f1, f2 = np.zeros_like(f1), np.zeros_like(f2)
+                fa = np.zeros_like(fa)
+            for k, v in zip(('rigidity_fg', 'rigidity_bg', 'flow_fg',
+                             'flow_bg', 'flow_alpha', 'rgb_error',
+                             'rgb_residual'),
+                            (r1, r2, f1, f2, fa, er, res_)):
+                rows[k].append(v)
+        for k in out:
+            arr = np.concatenate(rows[k])
+            out[k][f] = arr.reshape(*hw, *arr.shape[1:])
+    return out
+
+
+def _panel(img: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
+    """Normalize a scalar map into a [0,1] RGB tile."""
+    g = np.clip((img - vmin) / max(vmax - vmin, 1e-8), 0, 1)
+    if g.ndim == 2:
+        g = np.repeat(g[:, :, None], 3, -1)
+    return g
+
+
+def global_info_frames(video, rec, loss_videos, alpha, mask) -> np.ndarray:
+    """Reference's matplotlib diagnostic grid (evaluate.py:521-573) as a
+    plain 2x4 image mosaic per frame (no matplotlib in the hot path):
+    row 1: reconstruction | original | rgb_error | alpha-vs-mask;
+    row 2: flow_fg | flow_bg | flow_alpha | rigidity_fg."""
+    frames = []
+    for i in range(len(video)):
+        avm = np.stack([mask[i], alpha[i, :, :, 0],
+                        np.zeros_like(mask[i])], axis=-1)
+        row1 = np.concatenate([
+            _panel(rec[i], 0, 1), _panel(video[i], 0, 1),
+            _panel(loss_videos['rgb_error'][i], 0, 0.2),
+            _panel(avm, 0, 1)], axis=1)
+        row2 = np.concatenate([
+            _panel(loss_videos['flow_fg'][i], 0, 2.0),
+            _panel(loss_videos['flow_bg'][i], 0, 2.0),
+            _panel(loss_videos['flow_alpha'][i], 0, 1.0),
+            _panel(loss_videos['rigidity_fg'][i], 2.8, 50.0)], axis=1)
+        frames.append(np.concatenate([row1, row2], axis=0))
+    return np.stack(frames)
+
+
+# ------------------------------------------------------------- evaluation
 def evaluate_model(nets, params, video: np.ndarray, res_x: int, res_y: int,
                    num_frames: int, norm_s, norm_t,
-                   save_dir: str | None = None) -> float:
-    """Reconstruction PSNR over the full video (+ optional video dumps)."""
+                   save_dir: str | None = None, *,
+                   data: dict | None = None, full: bool = False,
+                   texture_res: int = 1000,
+                   uv_mapping_scale: float = 0.8,
+                   derivative_amount: int = 1) -> float:
+    """Reconstruction PSNR over the full video, plus (save_dir set) the
+    reference's validation artifact set; full=True additionally emits the
+    adaptive textures, edited re-renders and per-pixel loss videos
+    (needs `data` with mask/flows/flow_masks)."""
     rec = reconstruct_video(nets, params, res_x, res_y, num_frames,
                             norm_s, norm_t)
     value = psnr(rec['rgb'], video[:num_frames])
-    if save_dir is not None:
-        os.makedirs(save_dir, exist_ok=True)
-        _save_video(rec['rgb'], os.path.join(save_dir, 'reconstruction.mp4'))
-        _save_video(np.repeat(rec['alpha'], 3, -1),
-                    os.path.join(save_dir, 'alpha.mp4'))
-        _save_video(rec['fg'] * rec['alpha'],
-                    os.path.join(save_dir, 'foreground.mp4'))
-        _save_video(rec['bg'], os.path.join(save_dir, 'background.mp4'))
-        for layer in ('fg', 'bg'):
-            tex = render_atlas_texture(nets, params, layer, resolution=256)
-            from PIL import Image
-            Image.fromarray((np.clip(tex, 0, 1) * 255).astype(
-                np.uint8)).save(os.path.join(save_dir,
-                                             f'atlas_{layer}.png'))
-        _save_video(render_checkerboard(nets, params, res_x, res_y,
-                                        num_frames, norm_s, norm_t),
-                    os.path.join(save_dir, 'checkerboard.mp4'))
+    if save_dir is None:
+        return value
+    os.makedirs(save_dir, exist_ok=True)
+    _save_video(rec['rgb'], os.path.join(save_dir, 'reconstruction.mp4'))
+    _save_video(np.repeat(rec['alpha'], 3, -1),
+                os.path.join(save_dir, 'alpha.mp4'))
+    _save_video(rec['fg'] * rec['alpha'],
+                os.path.join(save_dir, 'foreground.mp4'))
+    _save_video(rec['bg'], os.path.join(save_dir, 'background.mp4'))
+    for layer in ('fg', 'bg'):
+        tex = render_atlas_texture(nets, params, layer, resolution=256)
+        _save_image(tex, os.path.join(save_dir, f'atlas_{layer}.png'))
+    _save_video(render_checkerboard(nets, params, res_x, res_y,
+                                    num_frames, norm_s, norm_t),
+                os.path.join(save_dir, 'checkerboard.mp4'))
+    if not full:
+        return value
+    assert data is not None, 'full evaluation needs the data dict'
+    larger_dim = max(res_x, res_y)
+
+    # adaptive mapping areas (reference evaluate.py:213-228): FG texture
+    # over the fixed [0,1] quadrant, BG over its used area; checkerboard
+    # FG over the high-alpha used area.
+    box_fg = dict(minx=0.0, miny=0.0, maxx=1.0, maxy=1.0, edge=1.0)
+    box_bg = get_mapping_area(
+        nets, params, np.asarray(data['mask']) > -1, larger_dim,
+        num_frames, (-0.5, -0.5), norm_s, norm_t,
+        mapping='BG_UV_Mapping', invert_alpha=True)
+    box_fg_tight = get_mapping_area(
+        nets, params, np.asarray(data['mask']) > 0.5, larger_dim,
+        num_frames, (0.5, 0.5), norm_s, norm_t,
+        mapping='FG_UV_Mapping', invert_alpha=False, alpha_thresh=0.95)
+
+    tex_fg = get_high_res_texture(
+        nets, params, texture_res, box_fg['minx'],
+        box_fg['minx'] + box_fg['edge'], box_fg['miny'],
+        box_fg['miny'] + box_fg['edge'])
+    tex_bg = get_high_res_texture(
+        nets, params, texture_res, box_bg['minx'],
+        box_bg['minx'] + box_bg['edge'], box_bg['miny'],
+        box_bg['miny'] + box_bg['edge'])
+    edited_fg = apply_edit_pattern(tex_fg)
+    edited_bg = apply_edit_pattern(tex_bg)
+
+    ed = render_edited_video(
+        nets, params, res_x, res_y, num_frames, norm_s, norm_t,
+        tex_fg=edited_fg, box_fg=box_fg, tex_bg=edited_bg, box_bg=box_bg,
+        rec=rec)
+    _save_video(ed['edit'], os.path.join(save_dir, 'edit.mp4'))
+    _save_video(ed['edit_fg'], os.path.join(save_dir, 'edited_fg.mp4'))
+    _save_video(ed['edit_bg'], os.path.join(save_dir, 'edited_bg.mp4'))
+    m1 = ed['mask_fg'][:, :, None]
+    m2 = ed['mask_bg'][:, :, None]
+    _save_image(m1 * tex_fg, os.path.join(save_dir, 'texture_orig1.png'))
+    _save_image(m1 * edited_fg, os.path.join(save_dir, 'texture_edit1.png'))
+    _save_image(m2 * tex_bg, os.path.join(save_dir, 'texture_orig2.png'))
+    _save_image(m2 * edited_bg, os.path.join(save_dir, 'texture_edit2.png'))
+
+    # checkerboard re-render through the tight FG box (reference :226-235)
+    res_t = texture_res // 2
+    tex_fg_t = get_high_res_texture(
+        nets, params, res_t, box_fg_tight['minx'],
+        box_fg_tight['minx'] + box_fg_tight['edge'], box_fg_tight['miny'],
+        box_fg_tight['miny'] + box_fg_tight['edge'])
+    tex_bg_t = get_high_res_texture(
+        nets, params, res_t, box_bg['minx'],
+        box_bg['minx'] + box_bg['edge'], box_bg['miny'],
+        box_bg['miny'] + box_bg['edge'])
+    checker = _checkerboard(res_t) * 0.3
+    ck = render_edited_video(
+        nets, params, res_x, res_y, num_frames, norm_s, norm_t,
+        tex_fg=checker + tex_fg_t * 0.7, box_fg=box_fg_tight,
+        tex_bg=checker + tex_bg_t * 0.7, box_bg=box_bg, rec=rec)
+    _save_video(ck['edit_fg'], os.path.join(save_dir,
+                                            'checkerboard_fg.mp4'))
+    _save_video(ck['edit_bg'], os.path.join(save_dir,
+                                            'checkerboard_bg.mp4'))
+
+    # uv visualization videos, normalized by the mapping boxes (:433-434)
+    for tag, key, box, shift in (('fg', 'uv_fg', box_fg, 0.5),
+                                 ('bg', 'uv_bg', box_bg, -0.5)):
+        uv = rec[key] * 0.5 + shift
+        nx = np.clip((uv[..., 0] - box['minx']) / max(box['edge'], 1e-8),
+                     0, 1)
+        ny = np.clip((uv[..., 1] - box['miny']) / max(box['edge'], 1e-8),
+                     0, 1)
+        img = np.stack([nx, ny, np.zeros_like(nx)], axis=-1)
+        _save_video(img, os.path.join(save_dir, f'uv_{tag}.mp4'))
+        if tag == 'fg':
+            _save_video(img * rec['alpha'],
+                        os.path.join(save_dir, 'uv_fg_masked.mp4'))
+
+    lv = compute_loss_videos(
+        nets, params, data, res_x, res_y, num_frames, norm_s, norm_t,
+        larger_dim, derivative_amount=derivative_amount,
+        uv_mapping_scale=uv_mapping_scale)
+    _save_video(lv['rgb_residual'] + 0.5,
+                os.path.join(save_dir, 'residuals.mp4'))
+    avm = np.stack([np.asarray(data['mask'])[:num_frames],
+                    rec['alpha'][..., 0],
+                    np.zeros_like(rec['alpha'][..., 0])], axis=-1)
+    _save_video(avm, os.path.join(save_dir, 'alpha_vs_gtmask.mp4'))
+    _save_video(global_info_frames(video[:num_frames], rec['rgb'], lv,
+                                   rec['alpha'],
+                                   np.asarray(data['mask'])),
+                os.path.join(save_dir, 'global_info.mp4'))
     return value
+
+
+def _checkerboard(res: int, squares: int = 16) -> np.ndarray:
+    ys, xs = np.mgrid[0:res, 0:res]
+    c = ((xs * squares // res + ys * squares // res) % 2).astype(np.float32)
+    return np.repeat(c[:, :, None], 3, -1)
+
+
+def _save_image(img: np.ndarray, path: str) -> None:
+    from PIL import Image
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
 
 
 def _save_video(frames: np.ndarray, path: str, fps: int = 10) -> None:
     arr = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, -1)
     try:
         import imageio
         with imageio.get_writer(path, fps=fps) as w:
@@ -104,18 +512,7 @@ def render_atlas_texture(nets, params, layer: str = 'fg',
     [0,1]x[0,1], BG in [-1,0]x[-1,0] (train_atlas.py:157-160).
     Returns (res, res, 3) in [0, 1]."""
     lo, hi = (0.0, 1.0) if layer == 'fg' else (-1.0, 0.0)
-    us, vs = np.meshgrid(np.linspace(lo, hi, resolution),
-                         np.linspace(lo, hi, resolution))
-    uv = np.stack([us.reshape(-1), vs.reshape(-1)], -1).astype(np.float32)
-
-    @jax.jit
-    def f(params, uv):
-        return (nets['F_Atlas'].apply(params['F_Atlas'], uv) + 1.0) * 0.5
-
-    out = []
-    for i in range(0, len(uv), 65536):
-        out.append(np.asarray(f(params, jnp.asarray(uv[i:i + 65536]))))
-    return np.concatenate(out).reshape(resolution, resolution, 3)
+    return get_high_res_texture(nets, params, resolution, lo, hi, lo, hi)
 
 
 def render_checkerboard(nets, params, res_x: int, res_y: int,
@@ -126,27 +523,13 @@ def render_checkerboard(nets, params, res_x: int, res_y: int,
     checker(uv_fg) composited over the BG layer by alpha."""
     rec = reconstruct_video(nets, params, res_x, res_y, num_frames,
                             norm_s, norm_t)
-    xs, ys = np.meshgrid(np.arange(res_x), np.arange(res_y))
-    coords = np.stack([xs.reshape(-1), ys.reshape(-1)], -1)
-
-    @jax.jit
-    def uv_alpha(params, xyt):
-        uv = nets['FG_UV_Mapping'].apply(params['FG_UV_Mapping'], xyt)
-        a = losses.scaled_alpha(nets['F_Alpha'].apply(params['F_Alpha'],
-                                                      xyt))
-        return uv, a
-
     frames = []
     for f in range(num_frames):
-        xyt = np.stack([norm_s(coords[:, 0]), norm_s(coords[:, 1]),
-                        np.full(len(coords), norm_t(f))],
-                       -1).astype(np.float32)
-        uv, a = jax.device_get(uv_alpha(params, jnp.asarray(xyt)))
+        uv = rec['uv_fg'][f].reshape(-1, 2)
+        a = rec['alpha'][f].reshape(-1, 1)
         grid = np.floor((uv * 0.5 + 0.5) * squares).astype(np.int64)
         checker = ((grid[:, 0] + grid[:, 1]) % 2).astype(np.float32)
         tex = np.stack([checker, 1 - checker, np.ones_like(checker)], -1)
-        a = a.reshape(res_y, res_x, 1)
-        frame = (tex.reshape(res_y, res_x, 3) * a
-                 + rec['bg'][f] * (1 - a))
-        frames.append(frame)
+        frame = (tex * a + rec['bg'][f].reshape(-1, 3) * (1 - a))
+        frames.append(frame.reshape(res_y, res_x, 3))
     return np.stack(frames)

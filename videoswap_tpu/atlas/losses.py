@@ -89,11 +89,11 @@ def gradient_loss(xyf, rgb_out, dx_gt, dy_gt, fg_map, bg_map, f_alpha,
     return gradient_loss_pre(rgb_out, out['x'], out['y'], dx_gt, dy_gt)
 
 
-def rigidity_loss_pre(uv, uv_xm, uv_ym, derivative_amount: int,
+def rigidity_loss_all(uv, uv_xm, uv_ym, derivative_amount: int,
                       larger_dim: int,
                       uv_mapping_scale: float) -> jnp.ndarray:
-    """Rigidity from precomputed shifted UV evals (same math as
-    `rigidity_loss`; used by the batched trainer step)."""
+    """Per-point rigidity values (reference loss_utils.py:109-110
+    `return_all=True` — used by the evaluation's per-pixel loss videos)."""
     scale = larger_dim / 2.0 / uv_mapping_scale / derivative_amount
     du_dx = (uv[:, 0] - uv_xm[:, 0]) * scale
     du_dy = (uv[:, 0] - uv_ym[:, 0]) * scale
@@ -109,7 +109,16 @@ def rigidity_loss_pre(uv, uv_xm, uv_ym, derivative_amount: int,
     jtj_norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2 + dd ** 2)
     det = a * dd - b * c
     inv_norm = jtj_norm / jnp.maximum(jnp.abs(det), 1e-9)
-    return (jtj_norm + inv_norm).mean()
+    return jtj_norm + inv_norm
+
+
+def rigidity_loss_pre(uv, uv_xm, uv_ym, derivative_amount: int,
+                      larger_dim: int,
+                      uv_mapping_scale: float) -> jnp.ndarray:
+    """Rigidity from precomputed shifted UV evals (same math as
+    `rigidity_loss`; used by the batched trainer step)."""
+    return rigidity_loss_all(uv, uv_xm, uv_ym, derivative_amount,
+                             larger_dim, uv_mapping_scale).mean()
 
 
 def rigidity_loss(xyf, uv, uv_map, derivative_amount: int, larger_dim: int,
@@ -163,6 +172,26 @@ def optical_flow_loss(xyf, uv, uv_map, flows, flow_masks, flows_rev,
         uv, uv_map(match_f), uv_map(match_b),
         flow_masks[f, y, x], flow_masks_rev[f, y, x],
         larger_dim, uv_mapping_scale, alpha=alpha)
+
+
+def optical_flow_loss_all(uv, uv_match_f, valid_f, larger_dim: int,
+                          uv_mapping_scale: float, alpha=None):
+    """Per-point forward-flow UV error (reference loss_utils.py:116-130
+    `get_optical_flow_loss_all`): zero where the flow-consistency mask is
+    off, scaled by alpha and the pixel unit."""
+    unit = larger_dim / (2.0 * uv_mapping_scale)
+    err = safe_norm(uv_match_f - uv)
+    err = jnp.where(valid_f > 0, err, 0.0)
+    if alpha is not None:
+        err = err * alpha[:, 0]
+    return err * unit
+
+
+def flow_alpha_loss_all(alpha, a_match_f, valid_f) -> jnp.ndarray:
+    """Per-point forward-flow alpha error (reference loss_utils.py:237-257
+    `get_optical_flow_alpha_loss_all`)."""
+    err = jnp.abs(alpha - a_match_f)[:, 0]
+    return jnp.where(valid_f > 0, err, 0.0)
 
 
 def optical_flow_alpha_loss_pre(alpha, a_match_f, a_match_b, valid_f,
