@@ -115,6 +115,11 @@ class _PatchFeaturizer:
         pad = np.pad(g, 2, mode='edge')
         feats = np.stack([pad[dy:dy + h, dx:dx + w]
                           for dy in range(5) for dx in range(5)], axis=-1)
+        # mean-center per pixel: cosine becomes ZNCC-like (raw all-positive
+        # patches have ~0.75 baseline cosine, which would defeat the
+        # tracker's occlusion confidence gate; real DIFT features are
+        # roughly zero-centered)
+        feats = feats - feats.mean(-1, keepdims=True)
         return feats.astype(np.float32)
 
 

@@ -30,11 +30,24 @@ def _cos_map(feat_hw_c, vec):
 class DIFTTracker:
     featurizer: SDFeaturizer
     locality_sigma: float = 0.15   # fraction of image diagonal
+    # min cosine to accept a match: calibrated so true matches under
+    # modest rotation/scale (>= 0.95 measured) clear it while spurious
+    # noise peaks (~0.6) do not; cf. the reference's downstream DIFT
+    # confidence filters at 0.7/0.35 (extract_semantic_point.py:127,156)
+    conf_thresh: float = 0.75
 
     def track(self, frames: list[np.ndarray], keyframe_idx: int,
               points_xy: np.ndarray, category: str) -> np.ndarray:
         """frames: list of (H, W, 3) in [-1, 1]; points_xy: (P, 2) on the
-        keyframe. Returns (F, P, 2) tracks (float32)."""
+        keyframe. Returns (F, P, 2) tracks (float32).
+
+        Occlusion handling: a match whose raw cosine falls below
+        conf_thresh is treated as occluded — the track HOLDS its last
+        confident position instead of jumping to a spurious peak, and the
+        locality prior stays centered there so the point re-locks when
+        the texture reappears (the reference reaches the same end via
+        Co-Tracker visibility + downstream DIFT-confidence filtering,
+        extract_semantic_point.py:104-140)."""
         prompt = f'photo of a {category}'
         h, w = frames[0].shape[:2]
         feats = [_resize_feat(self.featurizer.forward(f, prompt), h, w)
@@ -58,8 +71,11 @@ class DIFTTracker:
                                      + (ys - prev[1]) ** 2) / (2 * sigma2))
                     by, bx = np.unravel_index(
                         (cos * prior).argmax(), cos.shape)
-                    tracks[fi, pi] = (bx, by)
-                    prev = (bx, by)
+                    if cos[by, bx] < self.conf_thresh:
+                        tracks[fi, pi] = prev      # occluded: hold
+                    else:
+                        tracks[fi, pi] = (bx, by)
+                        prev = (bx, by)
         return tracks
 
 
