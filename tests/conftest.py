@@ -29,6 +29,23 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == 'cpu'
 assert jax.device_count() == 8, 'expected 8 virtual CPU devices'
 
+# Smoke tier: `pytest -m smoke` runs a fast high-signal subset (<~5 min
+# cold on this 1-core host) so the full ~50-min cold suite isn't the only
+# signal. Whole modules are tiered here rather than per-test marks.
+SMOKE_MODULES = {
+    'test_registry.py', 'test_schedulers.py', 'test_adapter.py',
+    'test_metrics.py', 'test_p2p.py', 'test_p2p_golden.py',
+    'test_hash_table_grad.py', 'test_subpixel.py', 'test_converters.py',
+    'test_attention.py', 'test_edlora.py', 'test_preprocess_hardening.py',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SMOKE_MODULES \
+                and 'slow' not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope='session')
 def rng():
