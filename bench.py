@@ -126,8 +126,65 @@ def bench_blended_swap(pipe, conditions):
     }), flush=True)
 
 
+def bench_atlas_step():
+    """Informational line: the atlas train step at production scale
+    (768x448, 72 frames, 10k points, full 8-term loss, fp32) — the other
+    heavy workload the reference ships (50k iterations per video). Runs
+    FIRST so its 1.6 GB of random video data is freed before the swap
+    pipeline's params go on device. Opt out: VS_BENCH_ATLAS=0."""
+    from videoswap_tpu.atlas.imlp import imlp_from_opt
+    from videoswap_tpu.atlas.trainer import AtlasTrainer
+    from videoswap_tpu.utils.config import load_config
+
+    opt = load_config('options/train_atlas/atlas_swan.yml')
+    nets = {name: imlp_from_opt(cfg)
+            for name, cfg in opt['models'].items()
+            if name != 'FG_UV_Mapping_Inverse'}
+    rs = np.random.RandomState(3)
+    f, h, w = 72, 448, 768
+    shp = (f, h, w)
+    data = {
+        'video': rs.rand(*shp, 3).astype(np.float32),
+        'mask': (rs.rand(*shp) > 0.7).astype(np.float32),
+        'dx': rs.randn(*shp, 3).astype(np.float32) * 0.05,
+        'dy': rs.randn(*shp, 3).astype(np.float32) * 0.05,
+        'flows': rs.randn(*shp, 2).astype(np.float32),
+        'flows_rev': rs.randn(*shp, 2).astype(np.float32),
+        'flow_masks': np.ones(shp, np.float32),
+        'flow_masks_rev': np.ones(shp, np.float32),
+    }
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    trainer = AtlasTrainer(nets=nets, data=data, train_opt=opt['train'],
+                           larger_dim=max(h, w), num_frames=f)
+    params = trainer.init_params(jax.random.PRNGKey(0))
+    opt_state = trainer.init_opt_state(params)
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    params, opt_state, ld = trainer.step(params, opt_state, key, 1)
+    float(ld['total_loss'])
+    print(f'# atlas compile+1 {time.time() - t0:.1f}s', file=sys.stderr)
+    n = 20
+    t0 = time.time()
+    for i in range(n):
+        params, opt_state, ld = trainer.step(
+            params, opt_state, jax.random.fold_in(key, i), 2 + i)
+    s = float(ld['total_loss'])
+    per = (time.time() - t0) / n * 1e3
+    assert np.isfinite(s)
+    print(f'# atlas step {per:.1f} ms', file=sys.stderr)
+    print(json.dumps({
+        'metric': 'atlas train step 768x448x72f 10k-pt full 8-term loss, '
+                  '1 chip (informational; Pallas hash-grad kernel)',
+        'value': round(per, 1),
+        'unit': 'ms',
+        'vs_baseline': None,
+    }), flush=True)
+
+
 def main():
     t_setup = time.time()
+    if os.environ.get('VS_BENCH_ATLAS', '1') != '0':
+        bench_atlas_step()
     pipe = build_pipeline()
     rs = np.random.RandomState(0)
     conditions = {
