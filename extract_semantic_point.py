@@ -1,8 +1,9 @@
 """Preprocessing A: semantic point extraction -> TAP.pth.
 
 Parity: /root/reference/extract_semantic_point.py — humans: OpenPose
-keypoints per frame (controlnet_aux, gated import) averaged-DIFT
-embeddings with confidence filtering at 0.7; objects/animals: keyframe
+keypoints per frame (thirdparty controlnet_aux when present, else the
+native JAX OpenPose body model, preprocess/pose.py) with averaged-DIFT
+embeddings and confidence filtering at 0.7; objects/animals: keyframe
 annotation JSON propagated by a tracker (thirdparty co-tracker when
 present, else the native DIFT tracker), embeddings from the keyframe DIFT
 feature with cosine-confidence filtering at 0.35 (drifting frames marked
@@ -40,17 +41,34 @@ def _load_frames(frame_dir: str) -> tuple[list, list[np.ndarray]]:
     return pil, arrs
 
 
-def propagate_human_keypoint(frame_dir: str) -> dict:
-    """OpenPose per frame (reference :34-77). Needs controlnet_aux, which
-    is not baked into this image — gated import with a clear error."""
+def _build_pose_detector(pose_ckpt: str | None):
+    """thirdparty controlnet_aux when present (reference behavior), else
+    the native JAX OpenPose body model from a local body_pose_model.pth
+    (videoswap_tpu/preprocess/pose.py) — same gated-import pattern as the
+    tracker/flow fallbacks."""
     try:
         from controlnet_aux import OpenposeDetector  # type: ignore
-    except ImportError as e:
+        return OpenposeDetector.from_pretrained('lllyasviel/Annotators')
+    except ImportError:
+        pass
+    from videoswap_tpu.preprocess.pose import NativePoseDetector
+    pose_ckpt = pose_ckpt or os.environ.get(
+        'VS_OPENPOSE_CKPT', 'pretrained_models/body_pose_model.pth')
+    if not osp.isfile(pose_ckpt):
         raise RuntimeError(
-            'human keypoint extraction needs controlnet_aux (OpenPose); '
-            'install it or use --is_human false with a keyframe '
-            'annotation') from e
-    detector = OpenposeDetector.from_pretrained('lllyasviel/Annotators')
+            'human keypoint extraction needs either controlnet_aux or a '
+            f'local OpenPose body checkpoint (looked at {pose_ckpt}; set '
+            '--pose_ckpt or VS_OPENPOSE_CKPT), or use --is_human false '
+            'with a keyframe annotation')
+    return NativePoseDetector.from_checkpoint(pose_ckpt)
+
+
+def propagate_human_keypoint(frame_dir: str,
+                             detector=None,
+                             pose_ckpt: str | None = None) -> dict:
+    """OpenPose 18-keypoint tracks per frame (reference :34-77)."""
+    if detector is None:
+        detector = _build_pose_detector(pose_ckpt)
     pil, _ = _load_frames(frame_dir)
     tracks = np.full((len(pil), 18, 2), -1.0, np.float32)
     for fi, img in enumerate(pil):
@@ -165,6 +183,9 @@ if __name__ == '__main__':
     parser.add_argument('--subject_category', type=str, default='object')
     parser.add_argument('--model_opt', type=str, default=None,
                         help='YAML with models/path blocks (for SD weights)')
+    parser.add_argument('--pose_ckpt', type=str, default=None,
+                        help='OpenPose body_pose_model.pth for the native '
+                             'human-keypoint path (no controlnet_aux)')
     args = parser.parse_args()
 
     opt = load_config(args.model_opt) if args.model_opt else {'models': {}}
@@ -176,7 +197,8 @@ if __name__ == '__main__':
 
     is_human = args.is_human.lower() in ('1', 'true', 'yes')
     if is_human:
-        tap = propagate_human_keypoint(args.frame_dir)
+        tap = propagate_human_keypoint(args.frame_dir,
+                                       pose_ckpt=args.pose_ckpt)
     else:
         tap = propagate_general_keypoint(
             args.frame_dir, args.keyframe_annotation, featurizer,

@@ -37,6 +37,7 @@ SMOKE_MODULES = {
     'test_metrics.py', 'test_p2p.py', 'test_p2p_golden.py',
     'test_hash_table_grad.py', 'test_subpixel.py', 'test_converters.py',
     'test_attention.py', 'test_edlora.py', 'test_preprocess_hardening.py',
+    'test_pose.py',
 }
 
 

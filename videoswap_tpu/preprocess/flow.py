@@ -105,12 +105,21 @@ def pyramid_flow(img0: jnp.ndarray, img1: jnp.ndarray, levels: int = 4,
     return flow
 
 
-def compute_bidirectional_flow(frame0: np.ndarray, frame1: np.ndarray
-                               ) -> np.ndarray:
+def compute_bidirectional_flow(frame0: np.ndarray, frame1: np.ndarray,
+                               method: str = 'matching') -> np.ndarray:
     """[2, H, W, 2]: (forward f0->f1, backward f1->f0), reference npy
-    layout (extract_flow.py:136-149)."""
-    fwd = pyramid_flow(jnp.asarray(frame0), jnp.asarray(frame1))
-    bwd = pyramid_flow(jnp.asarray(frame1), jnp.asarray(frame0))
+    layout (extract_flow.py:136-149).
+
+    method 'matching' (default): GMFlow-class global-correlation matching
+    fused with LK (matching_flow.py) — handles large displacement;
+    'lk': the pure pyramidal-LK tier."""
+    if method == 'matching':
+        from .matching_flow import global_matching_flow
+        fwd = global_matching_flow(frame0, frame1)
+        bwd = global_matching_flow(frame1, frame0)
+    else:
+        fwd = pyramid_flow(jnp.asarray(frame0), jnp.asarray(frame1))
+        bwd = pyramid_flow(jnp.asarray(frame1), jnp.asarray(frame0))
     return np.stack([np.asarray(fwd), np.asarray(bwd)])
 
 
