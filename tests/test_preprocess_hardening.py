@@ -203,6 +203,58 @@ def test_tracker_occlusion_recovery():
     assert err <= 1.5, f'recovery err {err}'
 
 
+def test_tracker_fast_motion_needs_flow_guidance():
+    """25 px/frame displacement with a tight locality prior (sigma ~8 px):
+    the flow-predicted prior center keeps the lock (Co-Tracker's joint-
+    motion advantage, rebuilt on the dense matching flow); the same
+    tracker WITHOUT flow guidance must lose it — otherwise this test no
+    longer exercises the guidance path."""
+    from videoswap_tpu.preprocess.tracker import DIFTTracker
+    h, w = 96, 128
+    rs = np.random.RandomState(7)
+    big = rs.rand(h + 90, w + 90).astype(np.float32)
+    from scipy.signal import convolve2d
+    k = np.outer(np.hanning(7), np.hanning(7))
+    big = convolve2d(big, k / k.sum(), mode='same', boundary='symm')
+    big = np.stack([big] * 3, -1)
+    shifts = [(0, 0), (25, 5), (50, 10), (75, 15)]
+    frames = [big[dy:dy + h, dx:dx + w] for dx, dy in shifts]
+    # both points must stay in frame through the cumulative (75, 15) shift
+    pts = np.asarray([[90.0, 40.0], [100.0, 70.0]])
+
+    guided = DIFTTracker(_PatchFeaturizer(), locality_sigma=0.05,
+                         conf_thresh=0.6).track(frames, 0, pts, 't')
+    plain = DIFTTracker(_PatchFeaturizer(), locality_sigma=0.05,
+                        conf_thresh=0.6, use_flow=False
+                        ).track(frames, 0, pts, 't')
+    errs_g, errs_p = [], []
+    for fi, (dx, dy) in enumerate(shifts):
+        gt = pts - np.asarray([dx, dy], np.float32)
+        errs_g.append(np.hypot(*(guided[fi] - gt).T).max())
+        errs_p.append(np.hypot(*(plain[fi] - gt).T).max())
+    assert max(errs_g) <= 2.0, f'guided errs {errs_g}'
+    assert max(errs_p) > 5.0, (
+        f'plain tracker unexpectedly survived 25 px/frame ({errs_p}) — '
+        'flow guidance is no longer load-bearing in this test')
+
+
+def test_tracker_subpixel_localization():
+    """Half-pixel ground truth: sub-pixel peak interpolation must localize
+    well under the 0.5 px quantization floor of plain argmax."""
+    from videoswap_tpu.preprocess.tracker import DIFTTracker
+    h, w = 80, 96
+    base = _texture(h, w, seed=9)
+    mats = [np.eye(2, dtype=np.float32),
+            np.eye(2, dtype=np.float32) * 1.015]   # ~0.5 px at r=33
+    frames = _affine_frames(base, mats, (w / 2, h / 2))
+    pts = np.asarray([[15.0, 40.0], [81.0, 40.0], [48.0, 7.0]])
+    tracks = DIFTTracker(_PatchFeaturizer(), locality_sigma=0.12,
+                         use_flow=False).track(frames, 0, pts, 't')
+    gt = (pts - (w / 2, h / 2)) @ mats[1].T + (w / 2, h / 2)
+    err = np.hypot(*(tracks[1] - gt).T)
+    assert err.max() <= 0.35, f'subpixel err {err}'
+
+
 @pytest.mark.slow
 def test_atlas_with_lk_flow_psnr_penalty_bounded():
     """End-to-end: fit a tiny atlas on synthetic rolling motion twice —
