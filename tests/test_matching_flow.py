@@ -178,6 +178,35 @@ def test_bidirectional_matching_consistency():
         np.median(both[1][inner], axis=(0, 1)), [32, 0], atol=0.5)
 
 
+def test_two_layer_motion():
+    """Foreground block and background move differently (the layered-
+    motion case the atlas consumes flow for): the per-pixel photometric
+    selection over {matched, LK, top-2 phase-correlation} candidates must
+    recover BOTH motions — a single global estimate cannot."""
+    base = _textured_base(seed=6)
+    fg_tex = _textured_base(seed=7)
+    bg0, bg1 = _crop(base, 0, 0).copy(), _crop(base, 2, 6).copy()
+    # foreground block moves (-18, 8) against the background's (-6, -2)
+    fy, fx, bh, bw = 30, 40, 28, 36
+    patch = fg_tex[:bh, :bw]
+    bg0[fy:fy + bh, fx:fx + bw] = patch
+    bg1[fy + 8:fy + 8 + bh, fx - 18:fx - 18 + bw] = patch
+    flow = np.asarray(global_matching_flow(bg0, bg1))
+    gt_bg = np.array([-6.0, -2.0])
+    gt_fg = np.array([-18.0, 8.0])
+    # background ring well away from the block and the borders
+    ring = np.ones((H, W), bool)
+    ring[:12] = ring[-12:] = False
+    ring[:, :12] = ring[:, -12:] = False
+    ring[fy - 10:fy + bh + 18, fx - 28:fx + bw + 10] = False
+    epe_bg = np.linalg.norm(flow[ring] - gt_bg, axis=-1)
+    # foreground block interior
+    fg = flow[fy + 8:fy + bh - 8, fx + 8:fx + bw - 8]
+    epe_fg = np.linalg.norm(fg - gt_fg, axis=-1)
+    assert np.median(epe_bg) < 0.5, f'bg EPE {np.median(epe_bg)}'
+    assert np.median(epe_fg) < 1.0, f'fg EPE {np.median(epe_fg)}'
+
+
 def test_nondivisible_shapes_pad():
     base = _textured_base(seed=5)
     img0 = _crop(base, 0, 0)[:93, :121]
