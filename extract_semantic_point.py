@@ -51,6 +51,11 @@ def _build_pose_detector(pose_ckpt: str | None):
         return OpenposeDetector.from_pretrained('lllyasviel/Annotators')
     except ImportError:
         pass
+    except Exception as e:  # noqa: BLE001 — from_pretrained needs network;
+        # in a no-egress environment it raises a non-ImportError even when
+        # controlnet_aux is installed. Fall through to the native detector.
+        get_logger().info(f'controlnet_aux unavailable ({e}); '
+                          'falling back to native OpenPose')
     from videoswap_tpu.preprocess.pose import NativePoseDetector
     pose_ckpt = pose_ckpt or os.environ.get(
         'VS_OPENPOSE_CKPT', 'pretrained_models/body_pose_model.pth')

@@ -97,6 +97,34 @@ def test_torch_parity(hw):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_converter_prefixless_keys():
+    """The public body_pose_model.pth ships prefix-less keys
+    (`conv1_1.weight`, `Mconv7_stage6_L2.bias`) — pytorch-openpose strips
+    the module scope via util.transfer at load. The converter must derive
+    the scope from the layer name and produce the identical tree."""
+    import torch
+    torch.manual_seed(0)
+    sd = _torch_body(TINY).state_dict()
+    flat = {k.split('.', 1)[1]: v for k, v in sd.items()}
+    assert 'conv1_1.weight' in flat and not any('.' not in k for k in flat)
+    scoped = convert_openpose_body(sd)
+    prefixless = convert_openpose_body(flat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        scoped, prefixless)
+    # parity on the full-size layer-name set too (stage 6, conv5_* names)
+    full = OpenPoseBodyConfig()
+    from videoswap_tpu.preprocess.pose import _scope_for_layer
+    assert _scope_for_layer('conv1_1') == 'model0'
+    assert _scope_for_layer('conv4_4_CPM') == 'model0'
+    assert _scope_for_layer('conv5_5_CPM_L1') == 'model1_1'
+    assert _scope_for_layer('conv5_4_CPM_L2') == 'model1_2'
+    assert _scope_for_layer(f'Mconv7_stage{full.n_stages}_L2') == \
+        f'model{full.n_stages}_2'
+    assert _scope_for_layer('Mconv1_stage2_L1') == 'model2_1'
+
+
 def test_converter_matches_init_tree():
     import torch
     sd = _torch_body(TINY).state_dict()

@@ -196,6 +196,9 @@ def global_matching_flow(img0: np.ndarray, img1: np.ndarray,
     pyramid, and `phase_candidates` top-k FFT phase-correlation global
     shifts seed additional LK-refined candidates; the photometrically
     best flow wins per pixel (`_photometric_select`)."""
+    if (feat0 is None) != (feat1 is None):
+        raise ValueError('feat0 and feat1 must be provided together '
+                         '(got exactly one of the pair)')
     img0 = jnp.asarray(img0)
     img1 = jnp.asarray(img1)
     h, w = img0.shape[:2]

@@ -123,16 +123,43 @@ class OpenPoseBody(nn.Module):
         return paf, heat
 
 
+def _scope_for_layer(conv: str) -> str:
+    """Derive the module scope from a prefix-less layer name.
+
+    The public `body_pose_model.pth` stores flat keys (`conv1_1.weight`,
+    `Mconv7_stage6_L2.bias`) — pytorch-openpose/controlnet_aux strip the
+    module scope via their `util.transfer` remap at load time. Layout:
+    conv1_1..conv4_4_CPM -> model0; conv5_*_CPM_L{b} -> model1_{b};
+    Mconv*_stage{t}_L{b} -> model{t}_{b}."""
+    if conv.startswith('Mconv'):
+        stage = conv.split('_stage')[1].split('_L')[0]
+        branch = conv.rsplit('_L', 1)[1]
+        return f'model{stage}_{branch}'
+    if conv.startswith('conv5_'):
+        return f"model1_{conv.rsplit('_L', 1)[1]}"
+    return 'model0'
+
+
 def convert_openpose_body(state_dict: dict) -> dict:
     """torch `body_pose_model.pth` state dict -> flax params.
 
-    Keys look like `model0.conv1_1.weight` / `model3_2.Mconv4_stage3_L2.bias`
-    (pytorch-openpose Sequential-of-named-modules layout). Conv weights are
-    (O, I, KH, KW) -> flax (KH, KW, I, O)."""
+    Accepts both layouts: scoped 3-part keys (`model0.conv1_1.weight`,
+    `model3_2.Mconv4_stage3_L2.bias` — pytorch-openpose's Sequential-of-
+    named-modules as constructed in code) and the prefix-less 2-part keys
+    the public checkpoint actually ships (`conv1_1.weight`,
+    `Mconv7_stage6_L2.bias`), whose scope is derived from the layer name.
+    Conv weights are (O, I, KH, KW) -> flax (KH, KW, I, O)."""
     params: dict = {}
     for key, value in state_dict.items():
         v = np.asarray(value.numpy() if hasattr(value, 'numpy') else value)
-        scope, conv, kind = key.split('.')
+        parts = key.split('.')
+        if len(parts) == 3:
+            scope, conv, kind = parts
+        elif len(parts) == 2:
+            conv, kind = parts
+            scope = _scope_for_layer(conv)
+        else:
+            raise ValueError(f'unrecognized OpenPose checkpoint key: {key!r}')
         leaf = {'weight': 'kernel', 'bias': 'bias'}[kind]
         if kind == 'weight':
             v = v.transpose(2, 3, 1, 0)
@@ -257,7 +284,11 @@ def assemble_people(all_peaks: list, paf: np.ndarray,
                     s[kb] = idb
                     s[19] += 1
                     s[18] += candidate[int(idb), 2] + score
-                elif s[ka] != ida:
+                elif s[ka] < 0:
+                    # the match was on kb; attach ka only if that slot is
+                    # still unset — the reference decode never overwrites
+                    # an assigned part here (doing so double-counted
+                    # counts/scores on conflicting shoulder-ear evidence)
                     s[ka] = ida
                     s[19] += 1
                     s[18] += candidate[int(ida), 2] + score
