@@ -46,8 +46,22 @@ def make(out_dir: str, frames: int = 8, size: int = 64,
         'point_name2id': {f'p{i}': i for i in range(points)},
     }
     torch.save(tap, os.path.join(out_dir, 'TAP.pth'))
+
+    # concept images for the ED-LoRA smoke config (train_edlora_smoke.yml):
+    # the same blob subject on varying backgrounds
+    concept_dir = os.path.join(out_dir, 'concepts')
+    os.makedirs(concept_dir, exist_ok=True)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(3):
+        bg = rs.rand(3) * 0.5
+        blob = np.exp(-(((xx - size * 0.5) ** 2 + (yy - size * 0.5) ** 2)
+                        / (2 * (size * 0.12) ** 2)))
+        img = (np.ones((size, size, 3)) * bg
+               + blob[..., None] * np.array([0.9, 0.6, 0.2]))
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(concept_dir, f'{i}.png'))
     print(f'smoke dataset at {out_dir}: {frames} frames {size}x{size}, '
-          f'{points} points')
+          f'{points} points, 3 concept images')
 
 
 if __name__ == '__main__':

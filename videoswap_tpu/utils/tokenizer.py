@@ -43,8 +43,13 @@ class HashTokenizer:
         return 2 + (zlib.crc32(token.encode('utf-8')) % (self.vocab_size - 3))
 
     def _word_ids(self, text: str) -> list[int]:
-        words = re.findall(r'<[^>]+>|\w+|[^\w\s]', text.lower())
-        return [self.convert_tokens_to_ids(w) for w in words]
+        # added tokens match case-sensitively BEFORE lowercasing — same as
+        # transformers' AddedToken splitting (CLIPTokenizer lowercases only
+        # the remaining text). Without this, `<catA1_0>` never resolves to
+        # its extra-embedding row and concept training gets zero gradient.
+        words = re.findall(r'<[^>]+>|\w+|[^\w\s]', text)
+        return [self._added[w] if w in self._added
+                else self.convert_tokens_to_ids(w.lower()) for w in words]
 
     def __call__(self, text, padding='max_length', max_length=None,
                  truncation=True, return_tensors=None):
