@@ -218,6 +218,35 @@ def test_dpm_sampler_loop_modes_equivalent(pipe, conditions, monkeypatch):
     assert np.isfinite(np.asarray(lat_scan)).all()
 
 
+def test_dpm_20_steps_approaches_50_step_ddim(pipe):
+    """Pipeline-level proxy for the '50-DDIM-quality at ~20 steps' claim
+    (the analytic convergence-order evidence is in test_schedulers.py):
+    from the same initial noise on the tiny random-weight unet, the
+    20-step DPM++ terminal latent must sit FAR closer to the 50-step DDIM
+    reference than 10-step DDIM does. Measured on this setup (ref norm
+    584.6): dpm20->ddim50 = 101.7, ddim10->ddim50 = 213.3, ddim20->ddim50
+    = 99.4 — note the reference chain's own first-order discretization
+    error floors this metric, so matched-budget DDIM is the comparison
+    bound, not zero."""
+    lat0 = (jax.random.normal(jax.random.PRNGKey(7), (1, 2, 8, 8, 4))
+            * pipe.sched.init_noise_sigma)
+    kw = dict(prompt='a cat', video_length=2, height=64, width=64,
+              guidance_scale=7.5, output_type='latent', loop='python')
+    ref = pipe.sample(num_inference_steps=50, sampler='ddim', latents=lat0,
+                      **kw)
+
+    def dist(n, sampler):
+        out = pipe.sample(num_inference_steps=n, sampler=sampler,
+                          latents=lat0, **kw)
+        return float(jnp.linalg.norm(out - ref))
+
+    d_dpm20 = dist(20, 'dpmpp_2m')
+    d_ddim10 = dist(10, 'ddim')
+    d_ddim20 = dist(20, 'ddim')
+    assert d_dpm20 < 0.55 * d_ddim10, (d_dpm20, d_ddim10)
+    assert d_dpm20 < 1.15 * d_ddim20, (d_dpm20, d_ddim20)
+
+
 def test_validation_with_dpm_sampler(pipe, conditions):
     """editing_config.sampler reaches the sampling loop through
     validation (and composes with the blended-edit path)."""

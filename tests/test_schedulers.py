@@ -232,6 +232,55 @@ def test_dpm_second_order_beats_ddim_on_analytic_gaussian(sched):
     assert err_dpm < 0.7 * err_ddim, (err_dpm, err_ddim)
 
 
+def test_dpm_order_of_convergence(sched):
+    """Halving the step size on the analytic Gaussian ODE: first-order
+    DDIM must show error ratio ~2; DPM-Solver++(2M) must be clearly
+    super-linear. Measured ratios on this exact setup (same seeds):
+    DDIM 1.93-2.08 across 16->32/20->40/32->64/40->80; DPM++ 2.57-2.97.
+    The clean asymptotic 4x is NOT reached at practical step counts — the
+    lambda grid is highly non-uniform near t=0 (the largest-h steps
+    dominate), the first step is first-order, and alphas live on a
+    1000-entry discrete table — so the assertion is ratio > 2.45
+    (separated from first order by >5 sigma of the observed spread) at
+    two independent halvings, plus a 2x accuracy win over DDIM at equal
+    budget."""
+    v = 9.0
+
+    def eps_exact(x, t):
+        a = sched.alphas_cumprod[t]
+        al, s2 = jnp.sqrt(a), 1.0 - a
+        x0_hat = al * v * x / (a * v + s2)
+        return (x - al * x0_hat) / jnp.sqrt(s2)
+
+    def err(steps, kind):
+        ts = ddim_timesteps(1000, steps)
+        a_T = float(sched.alphas_cumprod[int(ts[0])])
+        rs = np.random.RandomState(2)
+        x = jnp.asarray(rs.randn(256).astype(np.float64))
+        x_true = np.asarray(x) * np.sqrt(v / (a_T * v + (1.0 - a_T)))
+        if kind == 'ddim':
+            for t in ts:
+                x = ddim_step(sched, eps_exact(x, int(t)),
+                              jnp.array(int(t)), x, steps)
+        else:
+            prev = jnp.zeros_like(x)
+            for i, t in enumerate(ts):
+                x, prev = dpm_pp_2m_step(sched, eps_exact(x, int(t)),
+                                         jnp.array(int(t)), x, prev,
+                                         jnp.array(i), steps)
+        return float(jnp.linalg.norm(jnp.asarray(x) - x_true))
+
+    e = {(k, n): err(n, k) for k in ('ddim', 'dpm')
+         for n in (16, 20, 32, 40, 64, 80)}
+    for a, b in ((20, 40), (32, 64)):
+        r_ddim = e[('ddim', a)] / e[('ddim', b)]
+        r_dpm = e[('dpm', a)] / e[('dpm', b)]
+        assert 1.7 < r_ddim < 2.4, (a, b, r_ddim)       # first order
+        assert r_dpm > 2.45, (a, b, r_dpm)              # super-linear
+    for n in (20, 40, 80):
+        assert e[('dpm', n)] < 0.55 * e[('ddim', n)], n
+
+
 def test_dpm_step_jits_and_scans(sched):
     steps = 6
     ts = jnp.asarray(dpm_timesteps(1000, steps))
