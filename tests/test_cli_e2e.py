@@ -251,3 +251,92 @@ def test_sharded_cli(tmp_path):
         # re-encode of near-identical pixels stays within a few LSB
         assert np.abs(a - b).max() <= 4, f'{f.name}: sharded != unsharded'
         assert np.abs(a - b).mean() <= 0.5, f'{f.name}: sharded drifted'
+
+
+def test_sharded_cli_blended(tmp_path):
+    """The BLENDED production path (inversion with attention stores +
+    cross/self replace + latent blending) through test.py --shard — the
+    r03 verdict's gap: the sharded equivalence only ever ran with
+    use_blend False. 256x256 (smallest valid blend geometry), sp frame
+    sharding + tp head sharding, vs the identical unsharded run."""
+    from scripts.make_smoke_dataset import make
+    data_dir = tmp_path / 'data'
+    make(str(data_dir), frames=2, size=256)
+
+    datasets = {
+        'type': 'SingleVideoPointDataset',
+        'path': str(data_dir / 'frames'),
+        'tap_path': str(data_dir / 'TAP.pth'),
+        'prompt': 'a cat walking on a gradient floor',
+        'num_frames': 2, 'total_frames': 2,
+        'video_transform': [
+            {'type': 'Resize', 'size': 256},
+            {'type': 'ToTensor'},
+            {'type': 'Normalize', 'mean': [0.5], 'std': [0.5]},
+        ],
+        'batch_size_per_gpu': 1,
+    }
+    # smaller than TINY_MODELS: 256^2 inversion+edit runs twice on 1 core
+    models = {
+        'unet': {'unet_cfg': {
+            'block_out_channels': [8, 8, 16, 16], 'attention_head_dim': 2,
+            'cross_attention_dim': 16, 'norm_num_groups': 4,
+            'motion_heads': 2}},
+        'adapter': {'adapter_cfg': {
+            'embedding_channels': 12, 'channels': [8, 8, 16, 16],
+            'mid_dim': 8}},
+        'vae_cfg': {'block_out_channels': [4, 4, 8, 8], 'norm_groups': 4},
+        'text_encoder_cfg': {'hidden_size': 16, 'num_layers': 1,
+                             'num_heads': 2, 'intermediate_size': 16},
+    }
+    test_cfg = {
+        'name': 'smoke_shard_blend', 'manual_seed': 7,
+        'mixed_precision': 'no',
+        'datasets': datasets, 'models': models, 'path': {},
+        'val': {'save_type': 'frame', 'editing_config': {
+            'use_invertion_latents': True,
+            'use_blend': True,
+            'num_inference_steps': 2,
+            'guidance_scale': 7.5,
+            't2i_guidance_scale': 0.5, 't2i_start': 0.0, 't2i_end': 0.5,
+            'editing_prompts': {
+                'cat2dog': {'replace': 'cat -> fluffy dog',
+                            'blend_cfg': {'cross_replace_steps': 0.7,
+                                          'self_replace_steps': 0.7,
+                                          'blend_th': 0.3}},
+            },
+        }},
+    }
+    tcfg_path = tmp_path / 'test_shard_blend.yml'
+    _write_cfg(tcfg_path, test_cfg)
+
+    import test as test_mod
+    test_mod.test(str(tmp_path), str(tcfg_path), shard='1,2,4')
+    res = tmp_path / 'results' / 'smoke_shard_blend' / 'visualization'
+    frame_files = list((res / 'cat2dog').rglob('*.jpg'))
+    assert len(frame_files) == 2, f'expected 2 frames, got {frame_files}'
+
+    test_cfg['name'] = 'smoke_noshard_blend'
+    ncfg_path = tmp_path / 'test_noshard_blend.yml'
+    _write_cfg(ncfg_path, test_cfg)
+    test_mod.test(str(tmp_path), str(ncfg_path), shard=None)
+    res_ref = tmp_path / 'results' / 'smoke_noshard_blend' / 'visualization'
+
+    import numpy as np
+    from PIL import Image
+    for f in sorted((res / 'cat2dog').rglob('*.jpg')):
+        ref = res_ref / 'cat2dog' / f.relative_to(res / 'cat2dog')
+        a = np.asarray(Image.open(f), np.float32)
+        b = np.asarray(Image.open(ref), np.float32)
+        d = np.abs(a - b)
+        # the blend mask is THRESHOLDED (pooled attn > blend_th,
+        # spatial_blend semantics): an fp-epsilon of GSPMD reduction-order
+        # drift at a boundary pixel flips that pixel's blend source, so a
+        # handful of isolated pixels may differ visibly (observed max 13
+        # uint8 levels on <0.1% of pixels). Bound the flipped fraction and
+        # the mean instead of the max; the exact-math check is the
+        # unthresholded pipeline test (tests/test_multichip_blend.py,
+        # max diff <= 1 uint8 level).
+        assert (d > 4).mean() < 0.005, \
+            f'{f.name}: {100 * (d > 4).mean():.2f}% pixels flipped'
+        assert d.mean() <= 0.5, f'{f.name}: sharded drifted (mean {d.mean()})'

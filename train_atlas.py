@@ -84,8 +84,23 @@ def train(root_path: str, args) -> None:
         opt['train'].setdefault('sample_batch_size',
                                 opt['datasets']['sample_batch_size'])
 
+    mesh = None
+    if getattr(args, 'shard', None):
+        # dp over the point batch (points are iid): one sharding
+        # constraint inside the step, GSPMD psums the grads. Same rng
+        # stream -> numerically identical to the single-device run
+        # (tests/test_atlas.py::test_atlas_sharded_step_matches).
+        from videoswap_tpu.parallel import make_mesh
+        n = int(args.shard)
+        mesh = make_mesh((n, 1, 1))
+        from jax.sharding import NamedSharding, PartitionSpec
+        data = {k: jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
+                for k, v in data.items()}
+        logger.info(f'atlas training dp-sharded over {n} devices')
+
     trainer = AtlasTrainer(nets=nets, data=data, train_opt=opt['train'],
-                           larger_dim=larger_dim, num_frames=num_frames)
+                           larger_dim=larger_dim, num_frames=num_frames,
+                           mesh=mesh)
 
     rng, init_rng = jax.random.split(rng)
     params = trainer.init_params(init_rng)
@@ -164,5 +179,7 @@ def train(root_path: str, args) -> None:
 if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('-opt', type=str, required=True)
+    parser.add_argument('--shard', type=int, default=None,
+                        help='dp-shard the point batch over N devices')
     args = parser.parse_args()
     train(os.path.abspath('.'), args)

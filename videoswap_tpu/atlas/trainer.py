@@ -35,6 +35,13 @@ class AtlasTrainer:
     train_opt: dict
     larger_dim: int
     num_frames: int
+    # dp mesh (parallel.make_mesh((n, 1, 1))): points in a step batch are
+    # iid, so the batch shards embarrassingly over 'dp' — one sharding
+    # constraint on the sampled coordinates and GSPMD partitions the
+    # gathers + MLP evals and psums the grads into the replicated params.
+    # Reference parity: accelerate-prepared atlas nets/optimizer
+    # (/root/reference/train_atlas.py:95-98, nominally DDP-capable).
+    mesh: Any = None
 
     def __post_init__(self):
         lr = float(self.train_opt.get('optimizer', {}).get('lr', 1e-4))
@@ -54,13 +61,35 @@ class AtlasTrainer:
     def norm_t(self, v):
         return v / (self.num_frames / 2.0) - 1.0
 
+    def _dp(self, *arrs):
+        """dp-shard (batch,)-leading arrays over the point axis. No-op
+        without a mesh; with one, the same rng stream makes the sharded
+        step numerically identical to single-device (the reduction over
+        points is GSPMD-psum'd instead of local)."""
+        if self.mesh is None:
+            return arrs if len(arrs) > 1 else arrs[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape['dp']
+        assert arrs[0].shape[0] % dp == 0, (
+            f'sample_batch_size {arrs[0].shape[0]} must divide dp={dp}')
+        s = NamedSharding(self.mesh, P('dp'))
+        out = tuple(jax.lax.with_sharding_constraint(a, s) for a in arrs)
+        return out if len(out) > 1 else out[0]
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
     def init_params(self, rng) -> dict:
         keys = jax.random.split(rng, len(self.nets))
         params = {}
         for k, (name, net) in zip(keys, self.nets.items()):
             params[name] = jax.jit(net.init)(
                 k, jnp.zeros((1, net.input_dim)))
-        return params
+        return self._replicate(params)
 
     def init_opt_state(self, params):
         main = {n: params[n] for n in
@@ -85,6 +114,7 @@ class AtlasTrainer:
             y = self.norm_s(jax.random.randint(ky, (batch,), 0, self.res_y))
             f = self.norm_t(jax.random.randint(kf, (batch,), 0,
                                                self.num_frames))
+            x, y, f = self._dp(x, y, f)
             xyt = jnp.stack([x, y, f], axis=-1).astype(jnp.float32)
 
             def loss_fn(p):
@@ -125,6 +155,7 @@ class AtlasTrainer:
             x = jax.random.randint(kx, (batch,), 0, self.res_x)
             y = jax.random.randint(ky, (batch,), 0, self.res_y)
             f = jax.random.randint(kf, (batch,), 0, self.num_frames)
+            x, y, f = self._dp(x, y, f)
             xyf = jnp.stack([x, y, f], axis=-1)
             rgb_gt = data['video'][f, y, x]
             alpha_gt = data['mask'][f, y, x][:, None]
@@ -267,6 +298,7 @@ class AtlasTrainer:
             x = jax.random.randint(kx, (batch,), 0, self.res_x)
             y = jax.random.randint(ky, (batch,), 0, self.res_y)
             f = jax.random.randint(kf, (batch,), 0, self.num_frames)
+            x, y, f = self._dp(x, y, f)
             xyt = jnp.stack([self.norm_s(x), self.norm_s(y),
                              self.norm_t(f)], axis=-1).astype(jnp.float32)
             fg_mask = mask[f, y, x]  # supervise FG points only

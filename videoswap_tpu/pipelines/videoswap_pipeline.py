@@ -100,6 +100,22 @@ class VideoSwapPipeline:
         return jax.device_put(
             x, video_sharding(self.mesh, x.shape, frame_axis))
 
+    def _canonical_per_step(self, per_step):
+        """Sharded mode only: per-step inversion outputs leave the compiled
+        program with whatever tiling GSPMD propagation chose, which need
+        not be expressible as a NamedSharding of the mesh (observed: a
+        [1,2,2,1,1,2] tile assignment on (N,B,F,h,w,4) under a (1,2,4)
+        mesh). Host-side edit-bundle prep then fails to dispatch eager
+        slicing/reversal on them. Re-lay them out replicated — they are
+        small (sub-32^2 maps + latent trajectory) and are consumed as scan
+        inputs where GSPMD re-shards as needed. No-op single-device."""
+        if self.mesh is None:
+            return per_step
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), rep), per_step)
+
     # ------------------------------------------------------------------ text
     def encode_prompt_ids(self, prompts: list[str]) -> np.ndarray:
         return self.tokenizer(
@@ -237,7 +253,7 @@ class VideoSwapPipeline:
                                 want_store, store_ctrl.mode), fn)
             lat, per_step, z0 = jfn(self.params, pixels, text)
             per_step = dict(per_step, z0=z0, ts=ts)
-            return lat, per_step
+            return lat, self._canonical_per_step(per_step)
 
         enc = self._cached(('invert_enc', pixels.shape),
                            lambda params, px, tx: encode(params, px, tx))
@@ -290,7 +306,7 @@ class VideoSwapPipeline:
             'attn': jax.tree.map(lambda *xs: jnp.stack(xs), *attn_hist)
             if want_store else {},
         }
-        return lat, per_step
+        return lat, self._canonical_per_step(per_step)
 
     # ------------------------------------------------------------- sampling
     def sample(self,
