@@ -2,10 +2,11 @@
 
 Parity: /root/reference/scripts/extract_flow.py — per pair i, save
 `<flow_dir>/{i:05d}.npy` with shape [2, H, W, 2] (forward, backward). The
-reference uses an external UniMatch checkout; here the native
-GMFlow-class global-matching flow (matching_flow.py: global correlation
-softmax matching + LK refinement + photometric fusion) runs by default,
-with `--method lk` for the pure-LK tier and the same thirdparty gating.
+reference runs an external UniMatch checkout; here `--method auto` runs
+the NATIVE UniMatch port (preprocess/unimatch.py — the same
+gmflow-scale2-regrefine6 graph, flax) whenever its checkpoint is on disk,
+falling back to the weight-free GMFlow-class global-matching flow
+(matching_flow.py); `--method lk` is the pure-LK tier.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from videoswap_tpu.preprocess.flow import compute_bidirectional_flow  # noqa
 
 
-def main(frame_dir: str, out_dir: str, method: str = 'matching') -> None:
+def main(frame_dir: str, out_dir: str, method: str = 'auto') -> None:
     os.makedirs(out_dir, exist_ok=True)
     paths = sorted(Path(frame_dir).iterdir())
     frames = [np.asarray(Image.open(p).convert('RGB'), np.float32) / 255.0
@@ -41,7 +42,11 @@ if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--frame_dir', type=str, required=True)
     parser.add_argument('--out_dir', type=str, required=True)
-    parser.add_argument('--method', type=str, default='matching',
-                        choices=['matching', 'lk'])
+    parser.add_argument('--method', type=str, default='auto',
+                        choices=['auto', 'unimatch', 'matching', 'lk'],
+                        help="'auto' runs the native UniMatch port when "
+                             'its checkpoint is on disk (VS_UNIMATCH_CKPT '
+                             'or pretrained_models/), else the weight-free '
+                             'matching flow')
     args = parser.parse_args()
     main(args.frame_dir, args.out_dir, args.method)

@@ -105,14 +105,54 @@ def pyramid_flow(img0: jnp.ndarray, img1: jnp.ndarray, levels: int = 4,
     return flow
 
 
+_UNIMATCH_CKPT_ENV = 'VS_UNIMATCH_CKPT'
+_UNIMATCH_CKPT_DEFAULT = ('pretrained_models/'
+                          'gmflow-scale2-regrefine6-mixdata.pth')
+_unimatch_wrapper_cache: dict = {}
+
+
+def find_unimatch_checkpoint() -> str | None:
+    """Locate a gmflow-scale2-regrefine6 checkpoint: $VS_UNIMATCH_CKPT,
+    the reference's thirdparty path, or pretrained_models/."""
+    import glob
+    import os
+    cands = [os.environ.get(_UNIMATCH_CKPT_ENV, ''),
+             _UNIMATCH_CKPT_DEFAULT]
+    cands += sorted(glob.glob(
+        'thirdparty/unimatch/pretrained/gmflow-scale2-regrefine6*.pth'))
+    cands += sorted(glob.glob(
+        'pretrained_models/gmflow-scale2-regrefine6*.pth'))
+    for c in cands:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
 def compute_bidirectional_flow(frame0: np.ndarray, frame1: np.ndarray,
-                               method: str = 'matching') -> np.ndarray:
+                               method: str = 'auto') -> np.ndarray:
     """[2, H, W, 2]: (forward f0->f1, backward f1->f0), reference npy
     layout (extract_flow.py:136-149).
 
-    method 'matching' (default): GMFlow-class global-correlation matching
-    fused with LK (matching_flow.py) — handles large displacement;
-    'lk': the pure pyramidal-LK tier."""
+    method 'auto': the native UniMatch port when its checkpoint is on
+    disk (preprocess/unimatch.py — the learned model the reference runs),
+    else 'matching'; 'unimatch': require the checkpoint; 'matching':
+    GMFlow-class global-correlation matching fused with LK
+    (matching_flow.py, weight-free); 'lk': pure pyramidal LK."""
+    if method == 'auto':
+        method = 'unimatch' if find_unimatch_checkpoint() else 'matching'
+    if method == 'unimatch':
+        from .unimatch import UniMatchWrapper
+        ckpt = find_unimatch_checkpoint()
+        if ckpt is None:
+            raise FileNotFoundError(
+                'method=unimatch needs a gmflow-scale2-regrefine6 '
+                f'checkpoint (set ${_UNIMATCH_CKPT_ENV} or place it under '
+                'pretrained_models/)')
+        wrapper = _unimatch_wrapper_cache.get(ckpt)
+        if wrapper is None:
+            wrapper = UniMatchWrapper.from_checkpoint(ckpt)
+            _unimatch_wrapper_cache[ckpt] = wrapper
+        return wrapper.compute_flow(frame0, frame1)
     if method == 'matching':
         from .matching_flow import global_matching_flow
         fwd = global_matching_flow(frame0, frame1)
