@@ -87,6 +87,12 @@ def propagate_human_keypoint(frame_dir: str,
     return {'pred_tracks': tracks, 'point_name2id': dict(OPENPOSE_NAME2ID)}
 
 
+def _native_cotracker_ckpt():
+    from videoswap_tpu.preprocess.cotracker_native import \
+        find_cotracker_checkpoint
+    return find_cotracker_checkpoint()
+
+
 def propagate_general_keypoint(frame_dir: str, annotation_path: str,
                                featurizer: SDFeaturizer,
                                category: str) -> dict:
@@ -110,6 +116,20 @@ def propagate_general_keypoint(frame_dir: str, annotation_path: str,
         pred, _ = cotracker()(video, queries=queries,
                               backward_tracking=True)
         tracks = pred[0].numpy().astype(np.float32)
+    elif _native_cotracker_ckpt() is not None:
+        # the native CoTracker v1 port (flax graph + converter), selected
+        # automatically whenever the public checkpoint is on disk
+        from videoswap_tpu.preprocess.cotracker_native import \
+            NativeCoTrackerPredictor
+        ckpt = _native_cotracker_ckpt()
+        get_logger().info(f'tracking with native co-tracker ({ckpt})')
+        predictor = NativeCoTrackerPredictor.from_checkpoint(ckpt)
+        video = (np.stack(arrs) / 2 + 0.5) * 255
+        queries = np.asarray(
+            [[keyframe_idx, x, y] for x, y in points_xy],
+            np.float32)[None]
+        pred, _ = predictor(video, queries, backward_tracking=True)
+        tracks = pred[0].astype(np.float32)
     else:
         get_logger().info('tracking with native DIFT tracker')
         tracker = DIFTTracker(featurizer)
