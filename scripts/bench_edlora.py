@@ -74,7 +74,7 @@ def main():
         sched=make_schedule(), params=params,
         unet_sites=unet_sites, text_sites=text_sites, alpha=1.0,
         tune_cfg={'attn_impl': os.environ.get('TRAIN_ATTN_IMPL',
-                                              'chunked')},
+                                              'flash')},
         optimizer_cfg={'emb_lr': 1e-3, 'lora_lr': 1e-4},
         max_grad_norm=1.0)
     rng = jax.random.PRNGKey(1)

@@ -39,7 +39,7 @@ def main():
         tune_cfg={'drop_rate': 0.2, 'min_timestep': 0.5,
                   'loss_type': 'global',
                   'attn_impl': os.environ.get('TRAIN_ATTN_IMPL',
-                                              'chunked')},
+                                              'flash')},
         optimizer_cfg={'lr': 1e-5})
 
     rs = np.random.RandomState(0)

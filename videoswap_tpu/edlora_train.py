@@ -272,8 +272,10 @@ class EDLoRATrainer:
                                           tree['text_lora']),
             })
         self._step_fn = None
+        # flash default: 25% faster than chunked at 512^2 train shapes
+        # (pipelines/trainer.py has the ablation numbers)
         self.unet = self.unet.clone(
-            attn_impl=self.tune_cfg.get('attn_impl', 'chunked'),
+            attn_impl=self.tune_cfg.get('attn_impl', 'flash'),
             gradient_checkpointing=True)
 
     def init_train_params(self, rng: jax.Array, concept_emb: dict,

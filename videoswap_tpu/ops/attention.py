@@ -90,13 +90,19 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       temporal-attention kernel (0.66 ms vs 5.0 ms XLA at level-0);
       everything else -> XLA einsum+softmax (which is probs-bandwidth-
       bound but still beats the d-padded flash kernel at head_dim 40);
-    - 'flash': the Pallas flash kernel (use for memory-bound cases /
-      head_dim >= 128; differentiable via custom VJP);
-    - 'chunked': scan over query blocks (training at high resolution);
+    - 'flash': the Pallas flash kernel for spatial sites (memory-bound
+      cases, training under remat; differentiable via custom VJP; 25%
+      faster train step than 'chunked' at 512^2 — pipelines/trainer.py);
+      tiny temporal sequences keep the fused temporal kernel;
+    - 'chunked': scan over query blocks (memory-bounded but serial);
     - 'xla': plain einsum+softmax.
     """
     sq, sk = q.shape[1], k.shape[1]
-    if sq == sk and sq <= 32 and use_flash is not True and impl != 'flash':
+    if sq == sk and sq <= 32 and use_flash is not True:
+        # the fused temporal kernel beats both XLA and the d/seq-padded
+        # flash kernel on the tiny frame axis (16 -> 128 padding wastes
+        # 8x per block), so 'flash' keeps it too; use_flash=True is the
+        # explicit kernel-test override.
         return _small_seq_attention(q, k, v, heads)
     big = sq >= 2048 and sk >= 2048
     # >=32^2-token self-attention sites (the reference's xformers path,

@@ -269,6 +269,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     sk = k.shape[1]
     scale = d ** -0.5
 
+    if jax.default_backend() != 'tpu':
+        # plain-XLA statement of the same math (CPU fallback, same
+        # pattern as ops/temporal_attention.py): natively differentiable,
+        # so CPU tests and the virtual-mesh dryrun exercise the 'flash'
+        # routing without the TPU kernel.
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), v)
+
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
     sq_p = _round_up(sq, block_q)

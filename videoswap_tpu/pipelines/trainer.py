@@ -71,16 +71,17 @@ class VideoSwapTrainer:
                              tx)
         self.tx = tx
         self._step_fn = None
-        # training defaults to chunked attention + gradient checkpointing:
-        # memory-bounded, differentiable, and faster than the Pallas flash
-        # kernel at SD's head_dim 40 (ops/attention.py routing ablation).
-        # 'auto' (XLA-fused under remat) OOMs at production shapes: 19.7 G
-        # HBM needed vs 15.75 G on v5e (512^2 x 16f bench_train ablation).
-        # The flash kernel does have a tested custom VJP
-        # (ops/flash_attention.py); tune_cfg 'attn_impl' overrides for
-        # ablation ('auto', 'flash', 'xla').
+        # training defaults to the Pallas flash kernel (custom VJP,
+        # ops/flash_attention.py) + gradient checkpointing: memory-bounded
+        # AND 25% faster than chunked-scan attention at production shapes
+        # (512^2 x 16f bench_train ablation: cached-VAE step 658 vs 880 ms
+        # — the scan over query blocks serializes what flash's grid
+        # parallelizes). 'auto' (XLA-fused under remat) OOMs there: 19.7 G
+        # HBM needed vs 15.75 G on v5e. Tiny temporal sequences still ride
+        # the fused temporal kernel (ops/attention.py routing). tune_cfg
+        # 'attn_impl' overrides for ablation ('chunked', 'auto', 'xla').
         self.unet = self.unet.clone(
-            attn_impl=self.tune_cfg.get('attn_impl', 'chunked'),
+            attn_impl=self.tune_cfg.get('attn_impl', 'flash'),
             gradient_checkpointing=True)
 
     def init_state(self, adapter_params):
