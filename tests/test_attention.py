@@ -155,3 +155,32 @@ def test_small_seq_attention_matches(rng):
     np.testing.assert_allclose(
         np.asarray(_small_seq_attention(q, k, v, 4)),
         np.asarray(_merge_heads(_xla_attention(qh, kh, vh))), atol=2e-5)
+
+
+@pytest.mark.smoke
+def test_flash_impl_cpu_fallback_and_routing(rng):
+    """impl='flash' (the round-4 training default): mid-size sequences take
+    flash_attention — whose off-TPU branch is a plain-XLA restatement, so on
+    CPU it must match the reference exactly — and tiny equal-length
+    sequences keep the fused temporal-kernel routing (grad flows: the
+    trainer differentiates through this path)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (2, 300, 32))
+    k = jax.random.normal(k2, (2, 77, 32))
+    v = jax.random.normal(k3, (2, 77, 32))
+    out = dot_product_attention(q, k, v, heads=4, impl='flash')
+    ref = _ref_attention(*map(np.asarray, (q, k, v)), heads=4)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    # tiny temporal axis (sq == sk <= 32): same answer as explicit xla impl
+    qt = jax.random.normal(k1, (6, 16, 32))
+    kt = jax.random.normal(k2, (6, 16, 32))
+    vt = jax.random.normal(k3, (6, 16, 32))
+    out_f = dot_product_attention(qt, kt, vt, heads=4, impl='flash')
+    out_x = _ref_attention(*map(np.asarray, (qt, kt, vt)), heads=4)
+    np.testing.assert_allclose(np.asarray(out_f), out_x, atol=1e-5)
+
+    # differentiable end-to-end (the training path)
+    g = jax.grad(lambda a: dot_product_attention(
+        a, k, v, heads=4, impl='flash').sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
