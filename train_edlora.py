@@ -127,6 +127,20 @@ def train(root_path: str, args) -> None:
         k_init, concept_emb, rank=int(train_opt.get('lora_rank', 4)))
     opt_state = trainer.init_state(train_params)
 
+    if getattr(args, 'shard', None):
+        # Megatron tp over the frozen unet/text-encoder kernels; factors
+        # and embeddings replicated (sharded step == single-device step,
+        # tests/test_edlora_shard.py). The batch is one image, so tp is
+        # the only axis with work to split.
+        from videoswap_tpu.edlora_train import shard_edlora_trainer
+        from videoswap_tpu.parallel import make_mesh, replicate_tree
+        n = int(args.shard)
+        mesh = make_mesh((1, 1, n), devices=jax.devices()[:n])
+        trainer = shard_edlora_trainer(trainer, mesh)
+        train_params = replicate_tree(train_params, mesh)
+        opt_state = replicate_tree(opt_state, mesh)
+        logger.info(f'ED-LoRA training tp-sharded over {n} devices')
+
     # ---- static per-image batches: layer-variant ids + cached VAE moments
     ids_all = np.stack([
         tokenize_layer_prompts(tokenizer, dataset[i]['caption'],
@@ -194,5 +208,8 @@ if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('-opt', type=str, required=True,
                         help='Path to option YAML file.')
+    parser.add_argument('--shard', type=int, default=None,
+                        help='tensor-parallel-shard the frozen models '
+                             'over N devices')
     args = parser.parse_args()
     train(os.path.abspath('.'), args)

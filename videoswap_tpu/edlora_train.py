@@ -245,6 +245,8 @@ class EDLoRATrainer:
     tune_cfg: dict = field(default_factory=dict)
     optimizer_cfg: dict = field(default_factory=dict)
     max_grad_norm: Optional[float] = None
+    mesh: Any = None                   # set via shard_edlora_trainer
+    return_grads: bool = False         # step() also returns grads (tests)
 
     def __post_init__(self):
         oc = self.optimizer_cfg
@@ -363,6 +365,10 @@ class EDLoRATrainer:
             updates, opt_state = self.tx.update(grads, opt_state,
                                                 train_params)
             train_params = optax.apply_updates(train_params, updates)
+            if self.return_grads:
+                # sharded-vs-single-device tests assert per-leaf grads
+                # without paying a second value_and_grad compile
+                return train_params, opt_state, loss, grads
             return train_params, opt_state, loss
 
         return jax.jit(step, donate_argnums=(0, 1))
@@ -370,5 +376,40 @@ class EDLoRATrainer:
     def step(self, train_params, opt_state, batch, rng):
         if self._step_fn is None:
             self._step_fn = self._build_step()
+        if self.mesh is not None:
+            with jax.set_mesh(self.mesh):
+                return self._step_fn(train_params, opt_state, self.params,
+                                     batch, rng)
         return self._step_fn(train_params, opt_state, self.params, batch,
                              rng)
+
+
+def shard_edlora_trainer(trainer: 'EDLoRATrainer', mesh) -> 'EDLoRATrainer':
+    """Megatron tp-sharded ED-LoRA training over `mesh`.
+
+    The frozen unet/text-encoder kernels shard by the same column/row
+    rules inference uses (parallel.param_sharding_rules); the VAE is
+    replicated. The rank-r LoRA factors and concept embeddings stay
+    replicated — they are tiny (rank 4) and GSPMD propagates the merged
+    `W + alpha*up@down` matmul's sharding from W, inserting the factor
+    psums in the backward pass. The batch is one image (B=1, F=1), so tp
+    is the only axis with work to split; the analogue of the reference's
+    accelerate-prepared Mix-of-Show finetune.
+
+    Callers should `replicate_tree` (parallel.sharding) the train params
+    and optimizer state onto the mesh before the first step so the
+    donated buffers live on all devices."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from videoswap_tpu.parallel import shard_params
+
+    sharded = {}
+    for name, tree in trainer.params.items():
+        if name in ('unet', 'text_encoder'):
+            sharded[name] = shard_params(tree, mesh)
+        else:
+            sharded[name] = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+    return dataclasses.replace(trainer, params=sharded, mesh=mesh)

@@ -1,7 +1,7 @@
 from .mesh import make_mesh, MeshAxes
-from .sharding import (batch_sharding, param_sharding_rules,
+from .sharding import (batch_sharding, param_sharding_rules, replicate_tree,
                        shard_params, shard_batch, shard_pipeline)
 
 __all__ = ['make_mesh', 'MeshAxes', 'batch_sharding',
-           'param_sharding_rules', 'shard_params', 'shard_batch',
-           'shard_pipeline']
+           'param_sharding_rules', 'replicate_tree', 'shard_params',
+           'shard_batch', 'shard_pipeline']

@@ -44,6 +44,13 @@ def shard_params(params, mesh):
     return traverse_util.unflatten_dict(out)
 
 
+def replicate_tree(tree, mesh):
+    """device_put every leaf replicated over `mesh` (committed, so donated
+    jit steps keep the buffers on all devices)."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
 def batch_sharding(mesh, ndim: int, frame_axis: int = 1) -> NamedSharding:
     """(B, F, ...) tensors: B over dp, F over sp."""
     spec = ['dp'] + [None] * (ndim - 1)
