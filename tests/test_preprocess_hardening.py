@@ -349,3 +349,90 @@ def test_atlas_with_lk_flow_psnr_penalty_bounded():
     psnr_lk = fit(lk_f, lk_b, mf, mb)
 
     assert psnr_lk > psnr_gt - 1.5, (psnr_gt, psnr_lk)
+
+
+# ---------------------------------------------------------------------------
+# Non-rigid (beyond-affine) deformation bounds. Real footage bends and
+# parallaxes; every bound above is affine. The construction keeps ground
+# truth EXACT: img1(q) = img0(q - d(q)) by bilinear inverse warp, so the
+# img1->img0 flow is -d(q) with no small-displacement approximation.
+# ---------------------------------------------------------------------------
+
+def _sin_field(h, w, amp, lam):
+    """Smooth sinusoidal displacement field (max |grad| = 2*pi*amp/lam)."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = amp * np.sin(2 * np.pi * ys / lam + 0.7)
+    dy = amp * np.cos(2 * np.pi * xs / lam + 0.3)
+    return np.stack([dx, dy], -1)
+
+
+def _warp_by_field(img, d):
+    """img1(q) = img0(q - d(q)): bilinear inverse warp by a dense field."""
+    h, w = img.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    sx = np.clip(xs - d[..., 0], 0, w - 1)
+    sy = np.clip(ys - d[..., 1], 0, h - 1)
+    x0 = np.floor(sx).astype(int)
+    y0 = np.floor(sy).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    return (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+            + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+
+
+def test_flow_nonrigid_sinusoidal():
+    """2.5 px-amplitude sinusoidal bending: median EPE < 0.75 px — the
+    fallback flow must not rely on the motion being a single global
+    model."""
+    h, w = 96, 128
+    img0 = _texture(h, w, seed=11)
+    d = _sin_field(h, w, amp=2.5, lam=48.0)
+    img1 = _warp_by_field(img0, d)
+    flow = _run_flow(img1, img0)        # exact GT: -d
+    epe = _epe(flow, -d)
+    assert epe < 0.75, f'non-rigid EPE {epe}'
+
+
+def test_matching_flow_nonrigid_large_displacement():
+    """20 px translation + 3 px sinusoidal bending: the global-matching
+    tier must land median EPE < 1.0 px where the same field is far beyond
+    the LK pyramid's capture range — the regime the reference runs GMFlow
+    for, now with non-rigid structure on top."""
+    from videoswap_tpu.preprocess.matching_flow import global_matching_flow
+    h, w = 96, 128
+    img0 = _texture(h, w, seed=12)
+    d = _sin_field(h, w, amp=3.0, lam=48.0)
+    d[..., 0] += 20.0
+    img1 = _warp_by_field(img0, d)
+    flow = np.asarray(global_matching_flow(img1, img0))   # exact GT: -d
+    epe = _epe(flow, -d)
+    assert epe < 1.0, f'matching-flow non-rigid EPE {epe}'
+
+
+def test_tracker_nonrigid():
+    """Progressive sinusoidal deformation (0 -> 3 px): tracked points
+    within 2 px of the exact warped positions. GT per frame solves
+    q - d_i(q) = p0 by fixed-point iteration (contraction: |grad d| < 1)."""
+    from videoswap_tpu.preprocess.tracker import DIFTTracker
+    h, w = 80, 96
+    base = _texture(h, w, seed=13)
+    amps = [0.0, 1.0, 2.0, 3.0]
+    fields = [_sin_field(h, w, amp=a, lam=40.0) for a in amps]
+    frames = [_warp_by_field(base, d) for d in fields]
+    pts = np.asarray([[30.0, 25.0], [60.0, 50.0], [25.0, 55.0]])
+    tracks = DIFTTracker(_PatchFeaturizer(),
+                         locality_sigma=0.12).track(frames, 0, pts, 't')
+
+    def _field_at(a, lam, q):
+        dx = a * np.sin(2 * np.pi * q[:, 1] / lam + 0.7)
+        dy = a * np.cos(2 * np.pi * q[:, 0] / lam + 0.3)
+        return np.stack([dx, dy], -1)
+
+    for fi, a in enumerate(amps):
+        q = pts.copy()
+        for _ in range(30):
+            q = pts + _field_at(a, 40.0, q)
+        err = np.hypot(*(tracks[fi] - q).T).max()
+        assert err <= 2.0, f'frame {fi}: non-rigid err {err}'
