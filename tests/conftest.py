@@ -38,6 +38,9 @@ SMOKE_MODULES = {
     'test_hash_table_grad.py', 'test_subpixel.py', 'test_converters.py',
     'test_attention.py', 'test_edlora.py', 'test_preprocess_hardening.py',
     'test_pose.py',
+    # the flagship inference coupling (ED-LoRA merge + controlled
+    # cross-attention + blending); ~1:45 warm-cache of the tier's budget
+    'test_edlora_blend_e2e.py',
 }
 
 

@@ -101,25 +101,21 @@ def test_sharded_step_matches_single_device(setup, shape):
     sharded = shard_edlora_trainer(_trainer(setup), mesh)
     # frozen kernels actually landed tp-sharded
     q = sharded.params['unet']['params']
-    leaf = jax.tree_util.tree_leaves(
-        {k: v for k, v in q.items()})[0]
     assert any(
         s.sharding.spec != jax.sharding.PartitionSpec()
         for s in jax.tree_util.tree_leaves(q)
         if hasattr(s, 'sharding')), 'no unet kernel got a tp sharding'
-    del leaf
 
     sh_losses, sh_grads, sh_tp = _run_steps(
         sharded, setup['emb0'], setup['batch'], mesh=mesh)
 
     np.testing.assert_allclose(sh_losses, base_losses, rtol=1e-5)
-    for p, (a, b) in zip(
+    for (p, a), b in zip(
             jax.tree_util.tree_leaves_with_path(base_grads),
-            zip(jax.tree_util.tree_leaves(base_grads),
-                jax.tree_util.tree_leaves(sh_grads))):
+            jax.tree_util.tree_leaves(sh_grads)):
         np.testing.assert_allclose(
             b, a, rtol=2e-4, atol=1e-7,
-            err_msg=f'grad mismatch at {jax.tree_util.keystr(p[0])}')
+            err_msg=f'grad mismatch at {jax.tree_util.keystr(p)}')
     # Adam's g/sqrt(v) amplifies fp32 reduction-order noise when g and v
     # are both ~1e-8-scale, so updated params get an absolute floor tied
     # to the lr (observed max |diff| 2.8e-6 at lr 1e-2).

@@ -135,6 +135,13 @@ def train(root_path: str, args) -> None:
         from videoswap_tpu.edlora_train import shard_edlora_trainer
         from videoswap_tpu.parallel import make_mesh, replicate_tree
         n = int(args.shard)
+        avail = len(jax.devices())
+        if avail < n:
+            raise SystemExit(
+                f'--shard {n} requested but only {avail} device(s) are '
+                f'visible; run unsharded or set '
+                f'XLA_FLAGS=--xla_force_host_platform_device_count={n} '
+                f'JAX_PLATFORMS=cpu for a virtual mesh')
         mesh = make_mesh((1, 1, n), devices=jax.devices()[:n])
         trainer = shard_edlora_trainer(trainer, mesh)
         train_params = replicate_tree(train_params, mesh)
