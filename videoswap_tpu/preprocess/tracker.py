@@ -114,6 +114,7 @@ class DIFTTracker:
                           range(keyframe_idx, -1, -1)):
                 prev = np.array([px, py], np.float32)
                 last = None
+                n_coast = 0
                 for fi in order:
                     pred = prev
                     if last is not None and (last, fi) in flow_step:
@@ -123,13 +124,25 @@ class DIFTTracker:
                         pred = prev + fl[iy, ix]
                         pred = np.clip(pred, 0, [w - 1, h - 1])
                     cos = cos_all[fi][..., pi]
+                    # positional uncertainty grows while occluded: each
+                    # coasted frame compounds flow error at a position
+                    # whose flow is itself corrupted by the occluder, so
+                    # the re-lock search widens with coast length (else
+                    # the true peak sits in the prior's tail and a nearby
+                    # background false match wins — measured on the
+                    # rendered occluder fixture, tests/
+                    # test_tracking_realistic.py). Capped: an unbounded
+                    # prior would devolve into global argmax teleports.
+                    widen = float(min(1 + n_coast, 4)) ** 2
                     prior = np.exp(-((xs - pred[0]) ** 2
-                                     + (ys - pred[1]) ** 2) / (2 * sigma2))
+                                     + (ys - pred[1]) ** 2)
+                                   / (2 * sigma2 * widen))
                     by, bx = np.unravel_index(
                         (cos * prior).argmax(), cos.shape)
                     if cos[by, bx] < self.conf_thresh:
                         tracks[fi, pi] = pred   # occluded: coast (or hold)
                         prev = pred.astype(np.float32)
+                        n_coast += 1
                     else:
                         pos = np.array([bx, by], np.float32)
                         if self.subpixel:
@@ -137,6 +150,7 @@ class DIFTTracker:
                             pos += (dx, dy)
                         tracks[fi, pi] = pos
                         prev = pos
+                        n_coast = 0
                     last = fi
         return tracks
 
