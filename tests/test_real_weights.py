@@ -102,3 +102,30 @@ def test_cotracker_real_checkpoint():
     dx = np.diff(tracks[0, :, :, 0], axis=0)
     assert abs(float(np.median(dx)) - 2.0) < 1.0
     assert np.isfinite(tracks).all()
+
+
+def test_readiness_report_runs(tmp_path, capsys):
+    """scripts/validate_real_weights.py: the one-command PASS/SKIP/FAIL
+    report. On a weightless machine every artifact SKIPs (exit 0); a
+    present-but-corrupt artifact must FAIL (exit 1), not crash."""
+    import sys
+    sys.path.insert(0, 'scripts')
+    import validate_real_weights as vrw
+
+    out_json = tmp_path / 'report.json'
+    rc = vrw.main(['--json', str(out_json)])
+    report = __import__('json').load(open(out_json))
+    assert set(report) == {n for n, _ in vrw.CHECKS}
+    if all(r['status'] == 'SKIP' for r in report.values()):
+        assert rc == 0
+
+    # corrupt ED-LoRA checkpoint -> FAIL + nonzero exit
+    bad = tmp_path / 'edlora_model-latest.pth'
+    bad.write_bytes(b'not a torch file')
+    os.environ['VS_EDLORA_CKPT'] = str(bad)
+    try:
+        rc = vrw.main(['--only', 'edlora_concepts'])
+    finally:
+        del os.environ['VS_EDLORA_CKPT']
+    assert rc == 1
+    assert 'FAIL' in capsys.readouterr().out
