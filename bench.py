@@ -237,6 +237,41 @@ def main():
     elapsed = min(times)
     assert video.shape == (1, FRAMES, SIZE, SIZE, 3)
 
+    # ---- DPM-Solver++(2M) 20-step lever (informational): same initial
+    # latents, 20 solver steps vs the 50-step DDIM output just measured.
+    # Shipped profile: options/test_videoswap/animal/
+    # 2001_catheadturn_T05_Iter100/2001_catheadturn_dpmpp20.yml. Opt out:
+    # VS_BENCH_DPM=0.
+    if os.environ.get('VS_BENCH_DPM', '1') != '0':
+        from videoswap_tpu.utils.metrics import ssim, video_psnr
+        dpm_kwargs = dict(kwargs, sampler='dpmpp_2m',
+                          num_inference_steps=20)
+        t0 = time.time()
+        vid_dpm = pipe.sample(**dpm_kwargs)        # compile + run
+        print(f'# dpm compile+run {time.time() - t0:.1f}s', file=sys.stderr)
+        dpm_times = []
+        for _ in range(2):
+            t0 = time.time()
+            vid_dpm = pipe.sample(**dpm_kwargs)
+            dpm_times.append(time.time() - t0)
+            print(f'# dpm steady-state {dpm_times[-1]:.2f}s',
+                  file=sys.stderr)
+        v50 = (video[0] + 1.0) / 2.0               # [-1,1] -> [0,1]
+        v20 = (np.asarray(vid_dpm)[0] + 1.0) / 2.0
+        psnr_v = video_psnr(np.clip(v50, 0, 1), np.clip(v20, 0, 1))
+        ssim_v = float(np.mean([ssim(np.clip(v50[f], 0, 1),
+                                     np.clip(v20[f], 0, 1))
+                                for f in range(FRAMES)]))
+        print(json.dumps({
+            'metric': f'wall-clock {FRAMES}-frame {SIZE}x{SIZE} swap, '
+                      '20 DPM-Solver++(2M) steps (informational; quality '
+                      f'proximity to the {STEPS}-step DDIM output: '
+                      f'PSNR {psnr_v:.2f} dB, SSIM {ssim_v:.4f})',
+            'value': round(min(dpm_times), 3),
+            'unit': 's',
+            'vs_baseline': round(BASELINE_S / min(dpm_times), 3),
+        }), flush=True)
+
     fps = FRAMES / elapsed
     print(f'# best {elapsed:.2f}s  ({fps:.2f} frames/s/chip)',
           file=sys.stderr)
