@@ -63,14 +63,21 @@ def test_flash_attention_matches_reference(rng, sq, sk, d):
         from unittest import mock
         import videoswap_tpu.ops.flash_attention as fa
         orig = pl.pallas_call
+        calls = []
 
         def interp(*a, **kw):
+            calls.append(1)
             kw['interpret'] = True
             kw.pop('compiler_params', None)
             return orig(*a, **kw)
 
-        with mock.patch.object(fa.pl, 'pallas_call', interp):
-            out = fa.flash_attention.__wrapped__(q, k, v, 256, 256)
+        # the wrapper routes off-TPU backends to the plain-XLA fallback;
+        # force the kernel path so interpret mode actually runs the kernel
+        with mock.patch.object(fa.pl, 'pallas_call', interp), \
+                mock.patch.object(fa.jax, 'default_backend',
+                                  lambda: 'tpu'):
+            out = fa.flash_attention(q, k, v, 256, 256)
+        assert calls, 'kernel path not exercised (fallback ran instead)'
     qf = q.transpose(0, 2, 1, 3).reshape(h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(h, sk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(h, sk, d)
@@ -124,16 +131,26 @@ def test_flash_attention_vjp_matches_reference(rng):
         return orig(*a, **kw)
 
     def loss_flash(q, k, v):
-        return (fa.flash_attention.__wrapped__(q, k, v, 128, 128) * ct).sum()
+        return (fa.flash_attention(q, k, v, 128, 128) * ct).sum()
 
     def loss_ref(q, k, v):
         out = _xla_attention(*( _split_heads(t.reshape(1, t.shape[1], h * d), h)
                                 for t in (q, k, v)))
         return (out * ct).sum()
 
-    with jax.disable_jit(), mock.patch.object(fa.pl, 'pallas_call', interp):
-        o_f = fa.flash_attention.__wrapped__(q, k, v, 128, 128)
+    calls = []
+    _interp = interp
+
+    def interp(*a, **kw):  # noqa: F811 — counted variant
+        calls.append(1)
+        return _interp(*a, **kw)
+
+    with jax.disable_jit(), \
+            mock.patch.object(fa.pl, 'pallas_call', interp), \
+            mock.patch.object(fa.jax, 'default_backend', lambda: 'tpu'):
+        o_f = fa.flash_attention(q, k, v, 128, 128)
         g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    assert len(calls) >= 3, 'fwd + two bwd kernels must run interpreted'
     o_r = _xla_attention(*(_split_heads(t.reshape(1, t.shape[1], h * d), h)
                            for t in (q, k, v)))
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
@@ -184,3 +201,38 @@ def test_flash_impl_cpu_fallback_and_routing(rng):
     g = jax.grad(lambda a: dot_product_attention(
         a, k, v, heads=4, impl='flash').sum())(q)
     assert np.isfinite(np.asarray(g)).all()
+
+def test_save_flash_remat_policy_matches_full_remat(rng):
+    """gradient_checkpointing='save_flash' (remat with the flash out+lse
+    residuals saved, unet3d._maybe_remat) is a pure scheduling change:
+    loss and grads must equal full-block remat exactly."""
+    import flax.linen as nn
+
+    from videoswap_tpu.models.unet3d import _maybe_remat
+
+    class Blk(nn.Module):
+        @nn.compact
+        def __call__(self, x):           # x: (B, S, C)
+            h = 2
+            qkv = [nn.Dense(32, name=n)(x) for n in ('q', 'k', 'v')]
+            qh, kh, vh = (t.reshape(x.shape[0], -1, h, 16) for t in qkv)
+            o = flash_attention(qh, kh, vh)
+            return nn.Dense(32, name='o')(o.reshape(x.shape[:2] + (32,)))
+
+    x = jax.random.normal(rng, (1, 64, 32))
+    outs, grads = [], []
+    for mode in (True, 'save_flash'):
+        Cls = _maybe_remat(Blk, mode)
+        model = Cls()
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, x):
+            return (model.apply(p, x) ** 2).sum()
+
+        l, g = jax.jit(jax.value_and_grad(loss))(params, x)
+        outs.append(np.asarray(l))
+        grads.append(jax.device_get(g))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

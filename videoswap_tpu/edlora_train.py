@@ -275,10 +275,12 @@ class EDLoRATrainer:
             })
         self._step_fn = None
         # flash default: 25% faster than chunked at 512^2 train shapes
-        # (pipelines/trainer.py has the ablation numbers)
+        # (pipelines/trainer.py has the ablation numbers). tune_cfg
+        # 'remat' selects the checkpointing mode (True = full-block,
+        # 'save_flash' = keep attention out+lse; unet3d._maybe_remat).
         self.unet = self.unet.clone(
             attn_impl=self.tune_cfg.get('attn_impl', 'flash'),
-            gradient_checkpointing=True)
+            gradient_checkpointing=self.tune_cfg.get('remat', True))
 
     def init_train_params(self, rng: jax.Array, concept_emb: dict,
                           rank: int = 4) -> dict:

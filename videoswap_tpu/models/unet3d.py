@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from videoswap_tpu.p2p import NO_CTRL, AttnCtrl
@@ -60,8 +61,20 @@ class UNet3DConfig(NamedTuple):
         return self.layers_per_block
 
 
-def _maybe_remat(cls, enabled: bool):
-    return nn.remat(cls) if enabled else cls
+def _maybe_remat(cls, mode):
+    """mode: False (no remat), True (full-block remat), or 'save_flash'
+    (remat the block but SAVE the flash-attention kernel's out+lse —
+    tagged in ops/flash_attention.py — so the bwd pass never re-runs the
+    attention forward; the remat-ideal 3x per-family cost includes that
+    recompute, so this sits below it at the price of O(S*d) extra HBM
+    per site)."""
+    if not mode:
+        return cls
+    policy = None
+    if mode == 'save_flash':
+        policy = jax.checkpoint_policies.save_only_these_names(
+            'flash_out', 'flash_lse')
+    return nn.remat(cls, policy=policy)
 
 
 class CrossAttnDownBlock3D(nn.Module):
@@ -282,7 +295,9 @@ class AnimateDiffUNet3DModel(nn.Module):
     cfg: UNet3DConfig = UNet3DConfig()
     attn_impl: str = 'auto'
     dtype: jnp.dtype = jnp.float32
-    gradient_checkpointing: bool = False
+    # False | True (full-block remat) | 'save_flash' (remat blocks but keep
+    # flash-attention out+lse; see _maybe_remat)
+    gradient_checkpointing: 'bool | str' = False
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,

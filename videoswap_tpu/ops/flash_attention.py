@@ -239,32 +239,81 @@ def _bwd_core(res, g, *, scale, block_q, block_k, kv_len):
 
 
 # ------------------------------------------------------------ custom VJP
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_padded(qp, kp, vp, scale, block_q, block_k, kv_len):
-    out, _ = _fwd_core(qp, kp, vp, scale=scale, block_q=block_q,
-                       block_k=block_k, kv_len=kv_len)
+# The custom-VJP boundary sits on UNPADDED (BH, S, D) tensors: padding to
+# TPU block shapes happens inside fwd/bwd. This keeps the VJP residuals —
+# which become per-site HBM under gradient checkpointing with the
+# 'save_flash' policy (unet3d._maybe_remat) — at their logical size:
+# out (BH, Sq, D) instead of the lane-padded (BH, Sq_p, 128-rounded D),
+# lse (BH, Sq) instead of its 128-lane-replicated kernel layout (a 3-128x
+# difference at head_dim 40).
+
+
+def _pad3(x, s_p, d_p):
+    return jnp.pad(x, ((0, 0), (0, s_p - x.shape[1]),
+                       (0, d_p - x.shape[2])))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q3, k3, v3, block_q, block_k):
+    out, _ = _flash_fwd_padded(q3, k3, v3, block_q, block_k)
     return out
 
 
-def _flash_padded_fwd(qp, kp, vp, scale, block_q, block_k, kv_len):
-    out, lse = _fwd_core(qp, kp, vp, scale=scale, block_q=block_q,
-                         block_k=block_k, kv_len=kv_len)
-    return out, (qp, kp, vp, out, lse)
+def _flash_fwd_padded(q3, k3, v3, block_q, block_k):
+    bh, sq, d = q3.shape
+    sk = k3.shape[1]
+    sq_p, sk_p = _round_up(sq, block_q), _round_up(sk, block_k)
+    d_p = _round_up(d, 128)
+    out, lse = _fwd_core(
+        _pad3(q3, sq_p, d_p), _pad3(k3, sk_p, d_p), _pad3(v3, sk_p, d_p),
+        scale=d ** -0.5, block_q=block_q, block_k=block_k, kv_len=sk)
+    return out[:, :sq, :d], lse[:, :sq, 0]
 
 
-def _flash_padded_bwd(scale, block_q, block_k, kv_len, res, g):
-    return _bwd_core(res, g, scale=scale, block_q=block_q,
-                     block_k=block_k, kv_len=kv_len)
+def _flash_fwd(q3, k3, v3, block_q, block_k):
+    out, lse = _flash_fwd_padded(q3, k3, v3, block_q, block_k)
+    # Residual tags for selective rematerialization: under
+    # `nn.remat(..., policy=save_only_these_names('flash_out','flash_lse'))`
+    # (unet3d gradient_checkpointing='save_flash') the bwd reuses the saved
+    # out+lse — exactly what the bwd kernels consume — instead of re-running
+    # the forward kernel; q/k/v stay rematerialized from the (cheap) dense
+    # projections. The tags are identity ops under any other policy.
+    from jax.ad_checkpoint import checkpoint_name
+    return out, (q3, k3, v3, checkpoint_name(out, 'flash_out'),
+                 checkpoint_name(lse, 'flash_lse'))
 
 
-_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
+def _flash_bwd(block_q, block_k, res, g):
+    q3, k3, v3, out, lse = res
+    bh, sq, d = q3.shape
+    sk = k3.shape[1]
+    sq_p, sk_p = _round_up(sq, block_q), _round_up(sk, block_k)
+    d_p = _round_up(d, 128)
+    # padded q rows: lse=+inf => p = exp(s - inf) = 0, so they contribute
+    # exactly zero to dk/dv (their dout rows are zero-padded anyway)
+    lse_p = jnp.pad(lse, ((0, 0), (0, sq_p - sq)),
+                    constant_values=POS_INF)
+    lse_p = jnp.broadcast_to(lse_p[:, :, None], (bh, sq_p, 128))
+    res_p = (_pad3(q3, sq_p, d_p), _pad3(k3, sk_p, d_p),
+             _pad3(v3, sk_p, d_p), _pad3(out, sq_p, d_p), lse_p)
+    dq, dk, dv = _bwd_core(res_p, _pad3(g, sq_p, d_p), scale=d ** -0.5,
+                           block_q=block_q, block_k=block_k, kv_len=sk)
+    return dq[:, :sq, :d], dk[:, :sk, :d], dv[:, :sk, :d]
 
 
-@functools.partial(jax.jit, static_argnames=('block_q', 'block_k'))
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
     """q: [B, Sq, H, D], k/v: [B, Sk, H, D] -> [B, Sq, H, D].
-    Differentiable (custom VJP with Pallas backward kernels)."""
+    Differentiable (custom VJP with Pallas backward kernels).
+
+    Deliberately NOT jit-wrapped: a nested pjit would hide the
+    checkpoint_name residual tags from an enclosing nn.remat policy
+    (save_only_these_names cannot see inside inner jit calls — verified
+    by jaxpr pallas-call counts), and every caller already sits under a
+    larger jit."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = d ** -0.5
@@ -277,19 +326,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                             preferred_element_type=jnp.float32) * scale
         probs = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), v)
+        out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), v)
+        # same residual tag as the TPU path so the 'save_flash' remat
+        # policy compiles identically on CPU tests / the multichip dryrun
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(out, 'flash_out')
 
+    del scale  # folded into the VJP core (derived from the static d)
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
-    sq_p = _round_up(sq, block_q)
-    sk_p = _round_up(sk, block_k)
-    d_p = _round_up(d, 128)
 
-    def prep(x, s_p):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
-        return jnp.pad(x, ((0, 0), (0, s_p - x.shape[1]), (0, d_p - d)))
+    def heads_to_batch(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
 
-    qp, kp, vp = prep(q, sq_p), prep(k, sk_p), prep(v, sk_p)
-    out = _flash_padded(qp, kp, vp, scale, block_q, block_k, sk)
-    out = out[:, :sq, :d].reshape(b, h, sq, d)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    out = _flash(heads_to_batch(q), heads_to_batch(k), heads_to_batch(v),
+                 block_q, block_k)
+    return jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3))

@@ -80,9 +80,14 @@ class VideoSwapTrainer:
         # HBM needed vs 15.75 G on v5e. Tiny temporal sequences still ride
         # the fused temporal kernel (ops/attention.py routing). tune_cfg
         # 'attn_impl' overrides for ablation ('chunked', 'auto', 'xla').
+        # remat mode: 'save_flash' keeps each flash site's out+lse (the
+        # exact bwd-kernel residuals) and rematerializes everything else.
+        # A/B'd at production shapes: 663.0 vs 665.7 ms — NEUTRAL (the
+        # bwd is matmul-dominated; scripts/bench_train_remat.py), so the
+        # proven full-block default stays. tune_cfg 'remat' overrides.
         self.unet = self.unet.clone(
             attn_impl=self.tune_cfg.get('attn_impl', 'flash'),
-            gradient_checkpointing=True)
+            gradient_checkpointing=self.tune_cfg.get('remat', True))
 
     def init_state(self, adapter_params):
         return self.tx.init(adapter_params)
