@@ -74,7 +74,13 @@ def main():
         sched=make_schedule(), params=params,
         unet_sites=unet_sites, text_sites=text_sites, alpha=1.0,
         tune_cfg={'attn_impl': os.environ.get('TRAIN_ATTN_IMPL',
-                                              'flash')},
+                                              'flash'),
+                  # '1' full-block (default), '0' NO remat (batch-1
+                  # activations are 16x the video step's smaller — they
+                  # may simply fit), 'save_flash' selective
+                  'remat': {'1': True, '0': False}.get(
+                      os.environ.get('EDLORA_REMAT', '1'),
+                      os.environ.get('EDLORA_REMAT'))},
         optimizer_cfg={'emb_lr': 1e-3, 'lora_lr': 1e-4},
         max_grad_norm=1.0)
     rng = jax.random.PRNGKey(1)

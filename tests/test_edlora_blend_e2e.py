@@ -274,3 +274,65 @@ def test_edlora_blend_bundle_semantics(tmp_path, edlora_ckpt):
                     jax.tree_util.tree_leaves(pipe.params['unet'])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert pipe.encode_prompt([src]).shape == (1, 77, HID)
+
+
+def test_recompute_self_faithful_under_edlora(tmp_path, edlora_ckpt):
+    """recompute_self during an ED-LoRA swap must regenerate the inversion
+    self maps with the INVERSION-time (pristine) U-Net and text embedding
+    — not the merged concept weights — so it reproduces the stored-maps
+    path exactly, as it does without LoRA
+    (tests/test_p2p_integration.py::test_recompute_self_stores_matches_stored)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videoswap_tpu.models import AnimateDiffUNet3DModel, UNet3DConfig
+    from videoswap_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from videoswap_tpu.models.vae import AutoencoderKL
+    from videoswap_tpu.pipelines import VideoSwapPipeline
+    from videoswap_tpu.schedulers import make_schedule
+    from videoswap_tpu.utils.tokenizer import HashTokenizer
+
+    ucfg = MODELS['unet']['unet_cfg']
+    unet = AnimateDiffUNet3DModel(cfg=UNet3DConfig(
+        block_out_channels=tuple(ucfg['block_out_channels']),
+        attention_head_dim=ucfg['attention_head_dim'],
+        cross_attention_dim=HID, norm_num_groups=4, motion_heads=2))
+    vae = AutoencoderKL(block_out_channels=(4, 4, 8, 8), norm_groups=4)
+    text_encoder = CLIPTextModel(cfg=CLIPTextConfig(
+        hidden_size=HID, num_layers=1, num_heads=2, intermediate_size=16))
+    k = jax.random.PRNGKey(0)
+    f, size = 2, 256
+    params = {
+        'unet': jax.jit(unet.init)(
+            k, jnp.zeros((1, f, size // 8, size // 8, 4)),
+            jnp.array([0]), jnp.zeros((1, 77, HID))),
+        'vae': jax.jit(vae.init)(k, jnp.zeros((1, 64, 64, 3))),
+        'text_encoder': jax.jit(text_encoder.init)(
+            k, jnp.zeros((1, 77), jnp.int32)),
+    }
+    pipe = VideoSwapPipeline(
+        unet=unet, vae=vae, text_encoder=text_encoder,
+        tokenizer=HashTokenizer(), sched=make_schedule(), params=params)
+
+    video = np.random.RandomState(4).rand(1, f, size, size, 3).astype(
+        np.float32) * 2 - 1
+    base_cfg = {
+        'use_invertion_latents': True,
+        'use_blend': True,
+        'num_inference_steps': 3,
+        'guidance_scale': 7.5,
+        'editing_prompts': {
+            'swap': {'replace': 'cat -> catA1',
+                     'lora_path': f'{edlora_ckpt}---1.0',
+                     'blend_cfg': {'cross_replace_steps': 0.4,
+                                   'self_replace_steps': 0.7,
+                                   'blend_th': 0.3}},
+        },
+    }
+    stored = pipe.validation(video, None, 'a cat on the floor',
+                             dict(base_cfg, recompute_self_stores=False))
+    recomputed = pipe.validation(video, None, 'a cat on the floor',
+                                 dict(base_cfg, recompute_self_stores=True))
+    a = np.asarray(stored['swap'][0], np.float32)
+    b = np.asarray(recomputed['swap'][0], np.float32)
+    assert np.abs(a - b).max() <= 1.0, f'max diff {np.abs(a - b).max()}'

@@ -252,7 +252,7 @@ class VideoSwapPipeline:
             jfn = self._cached(('invert', num_inference_steps, pixels.shape,
                                 want_store, store_ctrl.mode), fn)
             lat, per_step, z0 = jfn(self.params, pixels, text)
-            per_step = dict(per_step, z0=z0, ts=ts)
+            per_step = dict(per_step, z0=z0, ts=ts, src_text=text)
             return lat, self._canonical_per_step(per_step)
 
         enc = self._cached(('invert_enc', pixels.shape),
@@ -283,7 +283,7 @@ class VideoSwapPipeline:
                 pers.append(per)
                 i0 += k
             per_step = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pers)
-            per_step = dict(per_step, z0=z0, ts=ts)
+            per_step = dict(per_step, z0=z0, ts=ts, src_text=text)
             if not want_store:
                 per_step['attn'] = {}
             return lat, per_step
@@ -303,6 +303,7 @@ class VideoSwapPipeline:
             'latents': jnp.stack(lat_hist),
             'z0': z0,
             'ts': ts,
+            'src_text': text,
             'attn': jax.tree.map(lambda *xs: jnp.stack(xs), *attn_hist)
             if want_store else {},
         }
@@ -411,8 +412,16 @@ class VideoSwapPipeline:
 
                     def _recompute(args):
                         lat_pre, t_inv = args
+                        # regenerate with the INVERSION-time U-Net params:
+                        # during an ED-LoRA swap `params['unet']` carries
+                        # the merged concept weights, but the stored maps
+                        # this path substitutes for came from the pristine
+                        # inversion (reference stores during inversion,
+                        # attention_store.py:95-100). Same buffers when no
+                        # merge happened.
                         _, v = self.unet.apply(
-                            params['unet'], lat_pre, t_inv,
+                            estate.get('inv_unet', params['unet']),
+                            lat_pre, t_inv,
                             estate['src_text'], ctrl=store_ctrl,
                             mutable=['attn_store'])
                         maps = _flatten_attn_store(v['attn_store'])
@@ -673,6 +682,10 @@ class VideoSwapPipeline:
             ddim_latents, per_step = self.invert(
                 source_video, source_prompt, num_inference_steps=steps,
                 store_ctrl=store_ctrl)
+        # pristine (pre-any-merge) U-Net params, captured before the swap
+        # loop so the recompute-self tier regenerates inversion maps with
+        # the weights that produced them even mid-ED-LoRA-swap
+        inv_unet_params = self.params['unet'] if recompute_self else None
 
         results = {}
         for key, swap_cfg in cfg.get('editing_prompts', {}).items():
@@ -718,8 +731,17 @@ class VideoSwapPipeline:
                     recompute_self=recompute_self,
                     inv_z0=per_step.get('z0'), inv_ts=per_step.get('ts'))
                 if edit_bundle.cfg.recompute_self:
-                    edit_bundle.static_state['src_text'] = \
-                        self.encode_prompt([source_prompt])
+                    # faithful regeneration: the inversion-time text
+                    # embedding and U-Net params (NOT the post-merge,
+                    # 16-layer ED-LoRA encode — the stored maps were made
+                    # before the concept load)
+                    src_text = (per_step or {}).get('src_text')
+                    edit_bundle.static_state['src_text'] = (
+                        src_text if src_text is not None
+                        else self.encode_prompt([source_prompt]))
+                    if inv_unet_params is not None:
+                        edit_bundle.static_state['inv_unet'] = \
+                            inv_unet_params
 
             want_sums = bool(cfg.get('visualize_attention')
                              and edit_bundle is not None
