@@ -1,6 +1,8 @@
 """ED-LoRA training-step benchmark at production scale (512^2 images,
 full SD-1.5 2D U-Net + text encoder, rank-4 LoRA on attention projections
-+ concept embeddings, bf16, chunked remat attention).
++ concept embeddings, bf16, flash attention, no remat — see the
+EDLORA_REMAT ablation below; the round-4 407 ms figure was dominated by
+the flash wrapper's nested jit + padded residuals, fixed in round 5).
 
 Mix-of-Show trains single-concept ED-LoRAs for ~100s of iterations; this
 measures OUR one donated jit step (in-graph W + alpha*up@down merging over
@@ -75,11 +77,12 @@ def main():
         unet_sites=unet_sites, text_sites=text_sites, alpha=1.0,
         tune_cfg={'attn_impl': os.environ.get('TRAIN_ATTN_IMPL',
                                               'flash'),
-                  # '1' full-block (default), '0' NO remat (batch-1
-                  # activations are 16x the video step's smaller — they
-                  # may simply fit), 'save_flash' selective
+                  # '0' NO remat (the default: batch-1 activations fit,
+                  # 57.5 ms vs 79.3 full-block / 67.5 no-remat-XLA —
+                  # measured 2026-08-20 same-session), '1' full-block,
+                  # 'save_flash' selective
                   'remat': {'1': True, '0': False}.get(
-                      os.environ.get('EDLORA_REMAT', '1'),
+                      os.environ.get('EDLORA_REMAT', '0'),
                       os.environ.get('EDLORA_REMAT'))},
         optimizer_cfg={'emb_lr': 1e-3, 'lora_lr': 1e-4},
         max_grad_norm=1.0)

@@ -274,13 +274,16 @@ class EDLoRATrainer:
                                           tree['text_lora']),
             })
         self._step_fn = None
-        # flash default: 25% faster than chunked at 512^2 train shapes
-        # (pipelines/trainer.py has the ablation numbers). tune_cfg
-        # 'remat' selects the checkpointing mode (True = full-block,
-        # 'save_flash' = keep attention out+lse; unet3d._maybe_remat).
+        # Measured same-session on v5e at 512^2 batch-1 (scripts/
+        # bench_edlora.py, 2026-08-20, post flash-VJP refactor):
+        # remat+flash 79.3 ms, NO-remat+flash 57.5 ms, no-remat+XLA 67.5.
+        # Batch-1 image activations easily fit HBM, so gradient
+        # checkpointing only buys recompute cost — default OFF here
+        # (tune_cfg 'remat': True / 'save_flash' for big-batch runs; the
+        # 16-frame video trainer keeps full-block remat, trainer.py).
         self.unet = self.unet.clone(
             attn_impl=self.tune_cfg.get('attn_impl', 'flash'),
-            gradient_checkpointing=self.tune_cfg.get('remat', True))
+            gradient_checkpointing=self.tune_cfg.get('remat', False))
 
     def init_train_params(self, rng: jax.Array, concept_emb: dict,
                           rank: int = 4) -> dict:
