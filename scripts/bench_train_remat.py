@@ -34,6 +34,14 @@ Caveat that cost a day: the policy silently no-ops if the tagged values
 sit inside a NESTED jit (flash_attention was jit-wrapped; the first A/B
 compiled identical programs for both arms). Verify tag visibility with
 print_saved_residuals before trusting any remat-policy A/B.
+
+Follow-up sweeps (same day): 'none' (no remat) OOMs by 0.55 G (16.30 vs
+15.75 G — the compact flash residuals got it this close; r04's 'auto'
+no-remat needed 19.81 G). 'edges' (remat only the level-0 blocks, whose
+activations are 4x level 1's area; save everything deeper) fits and runs
+632.2/632.0 ms vs full 665.8 same-session — a 5.3% win and the new
+trainer default. 'edges_sf' (level-0 remat with the save_flash policy)
+638.0 — the attention-residual trade is neutral-to-negative everywhere.
 """
 
 from __future__ import annotations
@@ -149,7 +157,11 @@ def run_variant(remat_mode) -> float:
 
 def main():
     names = sys.argv[1:] or ['full', 'save_flash']
-    modes = {'full': True, 'save_flash': 'save_flash'}
+    # 'none': no remat at all — viable only because flash residuals are
+    # compact (r04's no-remat OOM was 'auto' XLA attention saving its
+    # (B*h, S, S) probs, ~11 G of the 19.8 G demand)
+    modes = {'full': True, 'save_flash': 'save_flash', 'none': False,
+             'edges': 'edges', 'edges_sf': 'edges_sf'}
     results, losses = {}, {}
     for n in names:
         ms, ls = run_variant(modes[n])

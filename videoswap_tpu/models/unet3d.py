@@ -315,7 +315,24 @@ class AnimateDiffUNet3DModel(nn.Module):
         the duplicated pass, minus the duplicate prefix compute."""
         cfg = self.cfg
         chans = tuple(cfg.block_out_channels)
-        remat = self.gradient_checkpointing
+        remat_mode = self.gradient_checkpointing
+
+        def rm(level: int):
+            """Per-block remat mode. 'edges' remats ONLY the full-
+            resolution blocks (level 0 of the channel pyramid — their
+            activations dominate residual HBM at 4x the area of level 1)
+            and saves everything deeper: the memory-vs-recompute sweet
+            spot once attention/GEGLU residuals are compact (no-remat
+            needs 16.30 G vs 15.75 G available at 512^2 x 16f — over by
+            only 0.55 G, all of it recoverable at level 0)."""
+            if remat_mode == 'edges':
+                return level == 0
+            if remat_mode == 'edges_sf':
+                # level-0 blocks remat with the save_flash policy (their
+                # S=4096 attention fwd is the costliest recompute)
+                return 'save_flash' if level == 0 else False
+            return remat_mode
+
         if cfg_prefix_dedup:
             assert encoder_hidden_states.shape[0] == 2 * sample.shape[0], (
                 'cfg_prefix_dedup expects text with both CFG halves and '
@@ -350,12 +367,12 @@ class AnimateDiffUNet3DModel(nn.Module):
                     attn_impl=self.attn_impl,
                     cfg_expand=cfg_prefix_dedup and i == 0,
                     dtype=self.dtype,
-                    remat=remat, name=f'down_blocks_{i}')(
+                    remat=rm(i), name=f'down_blocks_{i}')(
                         x, temb, text, ctrl, res[i])
             else:
                 x, s = DownBlock3D(
                     cfg=cfg, out_channels=ch, use_motion=use_motion,
-                    add_downsample=False, dtype=self.dtype, remat=remat,
+                    add_downsample=False, dtype=self.dtype, remat=rm(i),
                     name=f'down_blocks_{i}')(x, temb, res[i])
             skips.extend(s)
 
@@ -364,7 +381,8 @@ class AnimateDiffUNet3DModel(nn.Module):
             cfg=cfg, use_motion=(cfg.use_motion_module
                                  and cfg.motion_module_mid_block),
             attn_impl=self.attn_impl,
-            dtype=self.dtype, remat=remat, name='mid_block')(
+            dtype=self.dtype, remat=rm(len(chans) - 1),
+            name='mid_block')(
                 x, temb, text, ctrl)
 
         # -- up --------------------------------------------------------------
@@ -382,7 +400,8 @@ class AnimateDiffUNet3DModel(nn.Module):
                 x = UpBlock3D(cfg=cfg, out_channels=ch,
                               use_motion=use_motion,
                               add_upsample=not is_final, dtype=self.dtype,
-                              remat=remat, name=f'up_blocks_{i}')(
+                              remat=rm(len(rev) - 1 - i),
+                              name=f'up_blocks_{i}')(
                                   x, block_skips, temb, upsample_size)
             else:
                 x = CrossAttnUpBlock3D(cfg=cfg, out_channels=ch,
@@ -391,7 +410,8 @@ class AnimateDiffUNet3DModel(nn.Module):
                                        place_idx=i,
                                        attn_impl=self.attn_impl,
                                        dtype=self.dtype,
-                                       remat=remat, name=f'up_blocks_{i}')(
+                                       remat=rm(len(rev) - 1 - i),
+                                       name=f'up_blocks_{i}')(
                                            x, block_skips, temb, text, ctrl,
                                            upsample_size)
             # DIFT taps: up-block features, fetched via

@@ -80,14 +80,16 @@ class VideoSwapTrainer:
         # HBM needed vs 15.75 G on v5e. Tiny temporal sequences still ride
         # the fused temporal kernel (ops/attention.py routing). tune_cfg
         # 'attn_impl' overrides for ablation ('chunked', 'auto', 'xla').
-        # remat mode: 'save_flash' keeps each flash site's out+lse (the
-        # exact bwd-kernel residuals) and rematerializes everything else.
-        # A/B'd at production shapes: 663.0 vs 665.7 ms — NEUTRAL (the
-        # bwd is matmul-dominated; scripts/bench_train_remat.py), so the
-        # proven full-block default stays. tune_cfg 'remat' overrides.
+        # remat mode (same-session A/Bs at 512^2 x 16f, scripts/
+        # bench_train_remat.py, 2026-08-20): full-block 665.7/665.8 ms;
+        # 'save_flash' (keep attention out+lse) 663.0 — neutral; NO remat
+        # OOMs by 0.55 G (16.30 vs 15.75 G); 'edges' (remat ONLY the
+        # full-resolution level-0 blocks, save everything deeper)
+        # 632.2/632.0 ms — the memory-vs-recompute sweet spot and the
+        # default. tune_cfg 'remat' overrides (True = full-block).
         self.unet = self.unet.clone(
             attn_impl=self.tune_cfg.get('attn_impl', 'flash'),
-            gradient_checkpointing=self.tune_cfg.get('remat', True))
+            gradient_checkpointing=self.tune_cfg.get('remat', 'edges'))
 
     def init_state(self, adapter_params):
         return self.tx.init(adapter_params)
