@@ -345,9 +345,11 @@ class AnimateDiffUNet3DModel(nn.Module):
                                  name='time_embedding')(
                                      t_feat.astype(self.dtype))
 
+        from videoswap_tpu.parallel.sharding import constrain_frames
         text = encoder_hidden_states.astype(self.dtype)
         x = sample.astype(self.dtype)
         x = InflatedConv(chans[0], dtype=self.dtype, name='conv_in')(x)
+        x = constrain_frames(x)
 
         res = (list(adapter_residuals) if adapter_residuals is not None
                else [None] * len(chans))
@@ -369,11 +371,13 @@ class AnimateDiffUNet3DModel(nn.Module):
                     dtype=self.dtype,
                     remat=rm(i), name=f'down_blocks_{i}')(
                         x, temb, text, ctrl, res[i])
+                x = constrain_frames(x)
             else:
                 x, s = DownBlock3D(
                     cfg=cfg, out_channels=ch, use_motion=use_motion,
                     add_downsample=False, dtype=self.dtype, remat=rm(i),
                     name=f'down_blocks_{i}')(x, temb, res[i])
+                x = constrain_frames(x)
             skips.extend(s)
 
         # -- mid -------------------------------------------------------------
@@ -384,6 +388,7 @@ class AnimateDiffUNet3DModel(nn.Module):
             dtype=self.dtype, remat=rm(len(chans) - 1),
             name='mid_block')(
                 x, temb, text, ctrl)
+        x = constrain_frames(x)
 
         # -- up --------------------------------------------------------------
         rev = list(reversed(chans))
@@ -414,6 +419,7 @@ class AnimateDiffUNet3DModel(nn.Module):
                                        name=f'up_blocks_{i}')(
                                            x, block_skips, temb, text, ctrl,
                                            upsample_size)
+            x = constrain_frames(x)
             # DIFT taps: up-block features, fetched via
             # mutable=['features'] (reference dift_util.py MyUNet2D early
             # exit after `up_ft_indices`; here capture is free unless asked)

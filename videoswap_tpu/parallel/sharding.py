@@ -70,6 +70,43 @@ def video_sharding(mesh, shape, frame_axis: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def constrain_frames(x, frame_axis: int = 1):
+    """Pin a (B, F, ...) activation to (dp, sp) batch/frame sharding when a
+    mesh with those axes is ambient; identity otherwise (single-chip, or
+    off-mesh tests).
+
+    Why: the spatial transformers fold frames into batch ((B,F,H,W,C) ->
+    (B*F,HW,C)); when CFG doubles B to 2 with sp=2, GSPMD's propagation of
+    the merged-axis sharding back through the unfold is ambiguous and it
+    alternates between batch-sharded and frame-sharded layouts from block
+    to block, paying an involuntary replicate-and-repartition (observed:
+    144 collective-permutes per CFG U-Net step on a (1,2,4) mesh; its
+    spmd_partitioner warnings name exactly these reshapes). Re-stating the
+    canonical layout at block boundaries removes the ambiguity."""
+    import os
+    if os.environ.get('VS_NO_FRAME_CONSTRAIN'):    # A/B escape hatch
+        return x
+    am = jax.sharding.get_abstract_mesh()
+    if am.empty or 'sp' not in am.axis_names:
+        return x
+    sizes = dict(am.shape)
+    dp, sp = sizes.get('dp', 1), sizes['sp']
+    spec = [None] * x.ndim
+    b = x.shape[0]
+    if b > 1 and b % (dp * sp) == 0:
+        # CFG doubles the batch: shard the HALVES over (dp, sp) — each
+        # device group computes one half entirely locally (frame-sharding
+        # cannot survive the (B,F)->(B*F) fold contiguously when B>1, so
+        # GSPMD would otherwise replicate-and-repartition at every fold)
+        spec[0] = ('dp', 'sp') if dp > 1 else 'sp'
+    else:
+        if dp > 1 and b % dp == 0:
+            spec[0] = 'dp'
+        if x.shape[frame_axis] % sp == 0:
+            spec[frame_axis] = 'sp'
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def shard_batch(batch: dict, mesh) -> dict:
     """Shard the trainer batch dict onto the mesh."""
     out = {}
