@@ -53,6 +53,19 @@ class AtlasTrainer:
         self.uv_scale = float(self.train_opt.get('uv_mapping_scale', 0.8))
         h, w = self.data['video'].shape[1:3]
         self.res_y, self.res_x = h, w
+        # One (F, H, W, 16) array fuses every per-point data plane the
+        # step reads, so the sampled batch needs ONE random gather instead
+        # of eight: each 10k-row gather costs ~1.25 ms on v5e regardless
+        # of payload width (random-access HBM latency-bound), so the 8
+        # separate gathers were ~10 ms of the ~145 ms step
+        # (scripts/bench_atlas_parts.py). Channel map:
+        # [0:3] rgb  [3] mask  [4:7] dx  [7:10] dy  [10:12] flow_f
+        # [12:14] flow_b  [14] flow_mask_f  [15] flow_mask_b
+        d = self.data
+        self._fused = jnp.concatenate([
+            d['video'], d['mask'][..., None], d['dx'], d['dy'],
+            d['flows'], d['flows_rev'], d['flow_masks'][..., None],
+            d['flow_masks_rev'][..., None]], axis=-1)
 
     # normalization closures (reference train_atlas.py:102-103)
     def norm_s(self, v):
@@ -145,22 +158,23 @@ class AtlasTrainer:
         w_rec = cfg['reconstruction_loss']
         nets = self.nets
 
-        # `data` is an ARGUMENT, not a closure capture: closed-over device
+        # `fused` is an ARGUMENT, not a closure capture: closed-over device
         # arrays are lowered as HLO constants, and at production scale
         # (768x448 x 72 frames ~ 1.6 GB) the serialized module breaks the
-        # axon remote-compile transport (broken pipe). Passing the arrays
-        # as runtime parameters keeps the module small.
-        def step(params, opt_state, rng, global_step, data):
+        # axon remote-compile transport (broken pipe). Passing the array
+        # as a runtime parameter keeps the module small.
+        def step(params, opt_state, rng, global_step, fused):
             kx, ky, kf = jax.random.split(rng, 3)
             x = jax.random.randint(kx, (batch,), 0, self.res_x)
             y = jax.random.randint(ky, (batch,), 0, self.res_y)
             f = jax.random.randint(kf, (batch,), 0, self.num_frames)
             x, y, f = self._dp(x, y, f)
-            xyf = jnp.stack([x, y, f], axis=-1)
-            rgb_gt = data['video'][f, y, x]
-            alpha_gt = data['mask'][f, y, x][:, None]
-            dx_gt = data['dx'][f, y, x]
-            dy_gt = data['dy'][f, y, x]
+            pt = fused[f, y, x]                    # ONE gather, 16 channels
+            rgb_gt = pt[:, 0:3]
+            alpha_gt = pt[:, 3:4]
+            dx_gt = pt[:, 4:7]
+            dy_gt = pt[:, 7:10]
+            fl_f, fl_b = pt[:, 10:12], pt[:, 12:14]
 
             def loss_fn(main_params):
                 # Batched evaluation: every net is applied ONCE over the
@@ -184,10 +198,16 @@ class AtlasTrainer:
                         axis=-1).astype(jnp.float32)
 
                 n = x.shape[0]
-                match_f = losses._flow_match_coords(
-                    xyf, data['flows'], 1, self.norm_s, self.norm_t)
-                match_b = losses._flow_match_coords(
-                    xyf, data['flows_rev'], -1, self.norm_s, self.norm_t)
+
+                def match(fl, direction):
+                    return jnp.stack(
+                        [self.norm_s(x.astype(jnp.float32) + fl[:, 0]),
+                         self.norm_s(y.astype(jnp.float32) + fl[:, 1]),
+                         self.norm_t((f + direction).astype(jnp.float32))],
+                        axis=-1)
+
+                match_f = match(fl_f, 1)
+                match_b = match(fl_b, -1)
                 # order: main, x+1, y+1, x-d, y-d, x-gd, y-gd, flow_f, flow_b
                 pts = [mk(x, y), mk(x + 1, y), mk(x, y + 1),
                        mk(x - d_amt, y), mk(x, y - d_amt),
@@ -253,8 +273,8 @@ class AtlasTrainer:
                         cfg['rigidity_loss']
                         [f'global_rigidity_{tag}_loss_weight'] * g, 0.0)
 
-                valid_f = data['flow_masks'][f, y, x]
-                valid_b = data['flow_masks_rev'][f, y, x]
+                valid_f = pt[:, 14]
+                valid_b = pt[:, 15]
                 for tag, uv9, uv, a in (
                         ('fg', uv_fg9, uv_fg, alpha),
                         ('bg', uv_bg9, uv_bg, 1 - alpha)):
@@ -286,7 +306,7 @@ class AtlasTrainer:
         if self._step is None:
             self._step = jax.jit(self._step_fn(), donate_argnums=(0, 1))
         return self._step(params, opt_state, rng,
-                          jnp.asarray(global_step), self.data)
+                          jnp.asarray(global_step), self._fused)
 
     # -------------------------------------------------------- inverse step
     def _inv_step_fn(self):
@@ -333,18 +353,18 @@ class AtlasTrainer:
         main_step = self._step_fn()
         inv_step = self._inv_step_fn() if with_inverse else None
 
-        def run(params, opt_state, rng, start_step, data):
+        def run(params, opt_state, rng, start_step, fused, mask):
             def body(carry, it):
                 params, opt_state = carry
                 key, gstep = it
                 k1, k2 = jax.random.split(key)
                 params, opt_state, ld = main_step(params, opt_state, k1,
-                                                  gstep, data)
+                                                  gstep, fused)
                 if inv_step is not None:
                     inv, opt_state, inv_loss = inv_step(
                         params['FG_UV_Mapping_Inverse'],
                         params['FG_UV_Mapping'], opt_state, k2,
-                        data['mask'])
+                        mask)
                     params = dict(params, FG_UV_Mapping_Inverse=inv)
                     ld = dict(ld, fg_inv_loss=inv_loss)
                 return (params, opt_state), ld
@@ -376,4 +396,4 @@ class AtlasTrainer:
             fn = self._run_steps_cache[key] = self._build_run_steps(
                 int(n), with_inv)
         return fn(params, opt_state, rng, jnp.asarray(start_step),
-                  self.data)
+                  self._fused, self.data['mask'])
